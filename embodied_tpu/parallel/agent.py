@@ -1,0 +1,282 @@
+"""Device-layer Agent: wraps a pure functional model into the core Agent API.
+
+Capability parity: /root/reference/embodied/jax/agent.py — mesh construction
+over ('d','f','t'), regex partition rules from the model, jitted
+init/train/policy/report with explicit in/out shardings and donated train
+state, per-call seed counters, prefetched device streams, checkpoint
+gather/shard, and AOT precompilation.
+
+TPU-native design notes:
+- Everything is jit + NamedSharding (GSPMD); no pmap. The full train store
+  (params, optimizer slots, normalizer state) is ONE flat dict donated to
+  the train executable every step, so parameter updates happen in place in
+  HBM with zero host traffic.
+- The policy runs on the same mesh from a read-only view of the store (no
+  copy; the dict shares device buffers). A separate policy mesh/device
+  split can be layered on without changing the model contract.
+
+The model contract (duck-typed):
+  model.init_policy/init_train/init_report(ctx, batch_size) -> carry
+  model.policy(ctx, carry, obs, mode) -> carry, act, out
+  model.train(ctx, carry, data) -> carry, outs, metrics
+  model.report(ctx, carry, data) -> carry, metrics
+  model.policy_keys: regex over store paths needed by policy
+  model.partition_rules: [(regex, partition spec tuple)]
+  model.ext_space: dict of extra replay keys (consec/stepid/latents)
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import core as corelib
+from ..core import streams as streamlib
+from ..nn.core import Ctx
+from ..utils import timer
+from . import meshes
+
+
+class Agent(corelib.Agent):
+
+  def __init__(self, model, obs_space, act_space, config):
+    self.model = model
+    self.obs_space = obs_space
+    self.act_space = {k: v for k, v in act_space.items() if k != 'reset'}
+    self.config = config
+    jaxcfg = config.jax
+    self.batch_size = config.batch_size
+    self.batch_length = config.batch_length
+    self.replay_context = config.replay_context
+    self.seed = int(config.seed)
+
+    self.mesh = meshes.make_mesh(getattr(jaxcfg, 'mesh', '-1,1,1'))
+    self.data_sharding = meshes.data_sharding(self.mesh)
+    self.replicated = meshes.replicated(self.mesh)
+    self.nbatch = int(np.prod(self.mesh.devices.shape[:2]))
+    assert self.batch_size % self.nbatch == 0, (
+        self.batch_size, self.mesh.devices.shape)
+
+    self._counters = {'train': 0, 'policy': 0, 'report': 0}
+    self._init_store()
+    self._build_fns()
+    if getattr(jaxcfg, 'precompile', False):
+      self._precompile()
+
+  # --- Example data -------------------------------------------------------
+
+  @property
+  def ext_space(self):
+    return self.model.ext_space
+
+  def _example_batch(self, batch_size, length):
+    spaces = {**self.obs_space, **self.act_space, **self.model.ext_space}
+    data = {}
+    for key, space in spaces.items():
+      if key.startswith('log/'):
+        continue
+      shape = (batch_size, length, *space.shape)
+      data[key] = np.zeros(shape, space.dtype)
+    return data
+
+  def _example_obs(self, batch_size):
+    data = {}
+    for key, space in self.obs_space.items():
+      if key.startswith('log/'):
+        continue
+      data[key] = np.zeros((batch_size, *space.shape), space.dtype)
+    return data
+
+  # --- Init ---------------------------------------------------------------
+
+  def _base_key(self):
+    return jax.random.PRNGKey(self.seed)
+
+  def _init_store(self):
+    length = self.batch_length + self.replay_context
+    data = self._example_batch(self.batch_size, length)
+    meta_cell = {}
+
+    def initfn(seedctr, data):
+      key = jax.random.fold_in(self._base_key(), seedctr)
+      ctx = Ctx({}, create=True, key=key)
+      carry = self.model.init_train(ctx, self.batch_size)
+      self.model.train(ctx, carry, data)
+      self.model.init_policy(ctx, self.batch_size)
+      self.model.init_report(ctx, self.batch_size)
+      store = {**ctx.store, **ctx.updates}
+      meta_cell.update(ctx.meta)
+      return store
+
+    shapes = jax.eval_shape(initfn, 0, data)
+    self.meta = dict(meta_cell)
+    rules = getattr(self.model, 'partition_rules', [])
+    self.shardings = meshes.resolve_rules(shapes, rules, self.mesh)
+    with timer.section('agent_init_params'):
+      self.store = jax.jit(
+          initfn, out_shardings=self.shardings,
+          static_argnums=())(0, self._device_batch(data))
+    total = sum(
+        v.size for k, v in self.store.items()
+        if self.meta.get(k) == 'param')
+    print(f'Initialized agent store: {len(self.store)} entries, '
+          f'{total:,} trainable params')
+
+  def _policy_paths(self):
+    pattern = re.compile(self.model.policy_keys)
+    return [k for k in self.store if pattern.search(k)]
+
+  def policy_store(self):
+    return {k: self.store[k] for k in self._policy_paths()}
+
+  # --- Jitted functions ---------------------------------------------------
+
+  def _build_fns(self):
+    model = self.model
+    base = self._base_key()
+    meta = self.meta
+
+    def trainfn(store, seedctr, carry, data):
+      key = jax.random.fold_in(base, seedctr)
+      ctx = Ctx(dict(store), create=False, key=key, meta=meta)
+      carry, outs, mets = model.train(ctx, carry, data)
+      new_store = {**store, **ctx.updates}
+      return new_store, carry, outs, mets
+
+    def policyfn(mode):
+      def fn(pstore, seedctr, carry, obs):
+        key = jax.random.fold_in(
+            jax.random.fold_in(base, seedctr), 1_000_003)
+        ctx = Ctx(dict(pstore), create=False, key=key, meta=meta)
+        return model.policy(ctx, carry, obs, mode=mode)
+      return fn
+
+    def reportfn(store, seedctr, carry, data):
+      key = jax.random.fold_in(base, seedctr)
+      ctx = Ctx(dict(store), create=False, key=key, meta=meta)
+      carry, mets = model.report(ctx, carry, data)
+      return carry, mets
+
+    def init_mode(mode):
+      def fn(store, batch_size):
+        ctx = Ctx(dict(store), create=False, key=base, meta=meta)
+        return getattr(model, f'init_{mode}')(ctx, batch_size)
+      return fn
+
+    self._train = jax.jit(trainfn, donate_argnums=(0, 2))
+    self._policy = {
+        mode: jax.jit(policyfn(mode), donate_argnums=(2,))
+        for mode in ('train', 'eval')}
+    self._report = jax.jit(reportfn)
+    self._init_fns = {
+        mode: jax.jit(init_mode(mode), static_argnums=(1,))
+        for mode in ('policy', 'train', 'report')}
+
+  def _precompile(self):
+    length = self.batch_length + self.replay_context
+    data = self._example_batch(self.batch_size, length)
+    data_shapes = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), data)
+    store_shapes = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+        dict(self.store))
+    carry = jax.eval_shape(
+        lambda: self._init_fns['train'](store_shapes, self.batch_size))
+    with timer.section('precompile_train'):
+      lowered = self._train.lower(store_shapes, 0, carry, data_shapes)
+      compiled = lowered.compile()
+      try:
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, list) else cost
+        flops = cost.get('flops', 0)
+        print(f'Train step FLOPs: {flops:.3e}')
+      except Exception:
+        pass
+
+  # --- Agent API ----------------------------------------------------------
+
+  def init_policy(self, batch_size):
+    return self._init_fns['policy'](dict(self.store), batch_size)
+
+  def init_train(self, batch_size):
+    return self._init_fns['train'](dict(self.store), batch_size)
+
+  def init_report(self, batch_size):
+    return self._init_fns['report'](dict(self.store), batch_size)
+
+  @timer.section('agent_policy')
+  def policy(self, carry, obs, mode='train'):
+    obs = {k: v for k, v in obs.items() if not k.startswith('log/')}
+    obs = self._device_batch(obs)
+    self._counters['policy'] += 1
+    fn = self._policy.get(mode, self._policy['train'])
+    carry, act, out = fn(
+        self.policy_store(), self._counters['policy'], carry, obs)
+    act, out = jax.device_get((act, out))
+    act = {k: np.asarray(v) for k, v in act.items()}
+    out = {k: np.asarray(v) for k, v in out.items()}
+    return carry, act, out
+
+  @timer.section('agent_train')
+  def train(self, carry, data):
+    if not isinstance(next(iter(data.values())), jax.Array):
+      data = self._device_batch(data)
+    self._counters['train'] += 1
+    self.store, carry, outs, mets = self._train(
+        self.store, self._counters['train'], carry, data)
+    outs = jax.device_get(outs)
+    mets = jax.device_get(mets)
+    return carry, outs, mets
+
+  @timer.section('agent_report')
+  def report(self, carry, data):
+    if not isinstance(next(iter(data.values())), jax.Array):
+      data = self._device_batch(data)
+    self._counters['report'] += 1
+    carry, mets = self._report(
+        dict(self.store), self._counters['report'], carry, data)
+    return carry, jax.device_get(mets)
+
+  def stream(self, source):
+    return streamlib.Prefetch(source, transform=self._device_batch, amount=2)
+
+  def _device_batch(self, data):
+    out = {}
+    for k, v in data.items():
+      batch = np.asarray(v).shape[0] if np.ndim(v) else 0
+      # Batches that do not divide the data axes (e.g. small env counts in
+      # the policy path) are replicated instead of sharded.
+      sharding = (
+          self.data_sharding if batch and batch % self.nbatch == 0
+          else self.replicated)
+      out[k] = jax.device_put(v, sharding)
+    return out
+
+  # --- Checkpointing ------------------------------------------------------
+
+  def save(self):
+    with timer.section('agent_save'):
+      host = jax.device_get(dict(self.store))
+      return {
+          'store': {k: np.asarray(v) for k, v in host.items()},
+          'counters': dict(self._counters),
+      }
+
+  def load(self, data, regex=None):
+    store = data['store']
+    if regex:
+      pattern = re.compile(regex)
+      store = {k: v for k, v in store.items() if pattern.search(k)}
+    missing = set(self.store) - set(store)
+    unexpected = set(store) - set(self.store)
+    if not regex:
+      assert not missing, f'Checkpoint missing entries: {sorted(missing)[:5]}'
+    if unexpected:
+      print(f'Ignoring {len(unexpected)} unexpected checkpoint entries')
+    new = dict(self.store)
+    for key, value in store.items():
+      if key in new:
+        new[key] = jax.device_put(value, self.shardings[key])
+    self.store = new
+    self._counters.update(data.get('counters', {}))

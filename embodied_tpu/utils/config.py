@@ -160,12 +160,17 @@ class Config(dict):
       node[parts[-1]] = value
     return result
 
+  SCI_NOTATION = re.compile(r'^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$')
+
   @classmethod
   def _ensure_values(cls, flat):
     result = {}
     for key, value in flat.items():
       if isinstance(value, list):
         value = tuple(value)
+      if isinstance(value, str) and cls.SCI_NOTATION.match(value):
+        # YAML parses '1e-8' as a string; treat it as the float it means.
+        value = float(value)
       result[key] = value
     return result
 
@@ -245,5 +250,13 @@ class Flags:
     flush()
     config = self._config
     for k, v in updates.items():
-      config = config.update({k: v})
+      try:
+        config = config.update({k: v})
+      except KeyError:
+        # Unknown keys flow through to the caller (e.g. later parse stages).
+        remaining.append(f'--{k}')
+        if isinstance(v, tuple):
+          remaining.extend(str(x) for x in v)
+        elif v != 'True':
+          remaining.append(str(v))
     return config, remaining
