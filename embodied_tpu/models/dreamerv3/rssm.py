@@ -1,0 +1,430 @@
+"""Recurrent State-Space Model with a block-diagonal GRU core.
+
+Capability parity: /root/reference/dreamerv3/rssm.py — categorical
+stochastic state (stoch x classes) with unimix, block-diagonal recurrent
+core (blocks groups), observe/imagine scans with per-step sampling, KL
+losses with free nats, latent entries stored to replay for truncated-carry
+resume, plus the simple CNN Encoder / Decoder with block-space projection.
+
+TPU notes: the core's block-diagonal contractions run as single batched
+matmuls (g, d, u) that tile directly onto the MXU; scans carry O(1) state
+so sequence length costs no memory beyond the outputs. Per-step sampling
+keys are threaded through the scan explicitly.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ... import nn
+from ...nn import dists
+from ...utils import Space
+
+f32 = jnp.float32
+sg = jax.lax.stop_gradient
+
+
+def flat2group(x, g):
+  return x.reshape((*x.shape[:-1], g, x.shape[-1] // g))
+
+
+def group2flat(x):
+  return x.reshape((*x.shape[:-2], x.shape[-2] * x.shape[-1]))
+
+
+class RSSM(nn.Module):
+
+  def __init__(
+      self, act_space, name='dyn', deter=4096, hidden=2048, stoch=32,
+      classes=32, norm='rms', act='gelu', unroll=False, unimix=0.01,
+      outscale=1.0, imglayers=2, obslayers=1, dynlayers=1, absolute=False,
+      blocks=8, free_nats=1.0, **kw):
+    super().__init__(name)
+    assert deter % blocks == 0, (deter, blocks)
+    self.act_space = act_space
+    self.deter = deter
+    self.hidden = hidden
+    self.stoch = stoch
+    self.classes = classes
+    self.unimix = unimix
+    self.unroll = unroll
+    self.absolute = absolute
+    self.blocks = blocks
+    self.free_nats = free_nats
+    self.actfn = nn.act(act)
+    self.kw = kw
+
+    self.actconcat = nn.DictConcat(act_space, 1)
+    g = blocks
+    self.obs_layers = [
+        (nn.Linear(hidden, f'obs{i}', **kw), nn.Norm(norm, f'obs{i}norm'))
+        for i in range(obslayers)]
+    self.obs_logit = nn.Linear(stoch * classes, 'obslogit',
+                               outscale=outscale, **kw)
+    self.img_layers = [
+        (nn.Linear(hidden, f'prior{i}', **kw), nn.Norm(norm, f'prior{i}norm'))
+        for i in range(imglayers)]
+    self.img_logit = nn.Linear(stoch * classes, 'priorlogit',
+                               outscale=outscale, **kw)
+    self.dynin = [
+        (nn.Linear(hidden, f'dynin{i}', **kw),
+         nn.Norm(norm, f'dynin{i}norm'))
+        for i in range(3)]
+    self.dynhid = [
+        (nn.BlockLinear(deter, g, f'dynhid{i}', **kw),
+         nn.Norm(norm, f'dynhid{i}norm'))
+        for i in range(dynlayers)]
+    self.dyngru = nn.BlockLinear(3 * deter, g, 'dyngru', **kw)
+
+  @property
+  def entry_space(self):
+    return dict(
+        deter=Space(np.float32, self.deter),
+        stoch=Space(np.float32, (self.stoch, self.classes)))
+
+  def initial(self, bsize):
+    return nn.cast(dict(
+        deter=jnp.zeros([bsize, self.deter], f32),
+        stoch=jnp.zeros([bsize, self.stoch, self.classes], f32)))
+
+  def truncate(self, entries, carry=None):
+    # Resume a carry from the last stored latent of a context window.
+    assert entries['deter'].ndim == 3, entries['deter'].shape
+    return nn.cast(jax.tree.map(lambda x: x[:, -1], entries))
+
+  def starts(self, entries, carry, nlast):
+    B = len(jax.tree.leaves(carry)[0])
+    return jax.tree.map(
+        lambda x: x[:, -nlast:].reshape((B * nlast, *x.shape[2:])), entries)
+
+  # --- Observation path ---------------------------------------------------
+
+  def observe(self, ctx, carry, tokens, action, reset, training,
+              single=False):
+    p = self.sub(ctx)
+    carry, tokens, action = nn.cast((carry, tokens, action))
+    if single:
+      carry, (entry, feat) = self._observe(
+          p, carry, (tokens, action, reset, ctx.rng()))
+      return carry, entry, feat
+    T = reset.shape[1]
+    # Per-step sampling keys ride along the scan: (T, 2) transposed so the
+    # time axis lines up with axis=1 of the data.
+    keys = jax.random.split(ctx.rng(), T).T
+    carry, (entries, feat) = nn.scan(
+        p, self._observe, carry, (tokens, action, reset, keys), axis=1)
+    return carry, entries, feat
+
+  def _observe(self, p, carry, inputs):
+    tokens, action, reset, key = inputs
+    deter, stoch, action = nn.mask(
+        (carry['deter'], carry['stoch'], action), ~reset)
+    action = self.actconcat(p, action)
+    action = nn.mask(action, ~reset)
+    deter = self._core(p, deter, stoch, action)
+    tokens = tokens.reshape((*deter.shape[:-1], -1))
+    x = tokens if self.absolute else jnp.concatenate([deter, tokens], -1)
+    for linear, norm in self.obs_layers:
+      x = self.actfn(norm(p, linear(p, x)))
+    logit = self._logit(self.obs_logit, p, x)
+    stoch = nn.cast(self._dist(logit).sample(key))
+    carry = dict(deter=deter, stoch=stoch)
+    feat = dict(deter=deter, stoch=stoch, logit=logit)
+    entry = dict(deter=deter, stoch=stoch)
+    return carry, (entry, feat)
+
+  # --- Imagination path ---------------------------------------------------
+
+  def imagine_single(self, p, carry, policy_or_action, key):
+    if callable(policy_or_action):
+      # Policies take (carry, key) and sample their own actions.
+      key, pkey = jax.random.split(key)
+      action = policy_or_action(sg(carry), pkey)
+    else:
+      action = policy_or_action
+    actemb = self.actconcat(p, nn.cast(action))
+    deter = self._core(p, carry['deter'], carry['stoch'], actemb)
+    logit = self._prior(p, deter)
+    stoch = nn.cast(self._dist(logit).sample(key))
+    carry = nn.cast(dict(deter=deter, stoch=stoch))
+    feat = nn.cast(dict(deter=deter, stoch=stoch, logit=logit))
+    return carry, (feat, action)
+
+  def imagine(self, ctx, carry, policy, length, training, single=False):
+    p = self.sub(ctx)
+    if single:
+      return self.imagine_single(p, nn.cast(carry), policy, ctx.rng())
+    keys = jax.random.split(ctx.rng(), length).T
+    if callable(policy):
+      def body(pp, c, key):
+        return self.imagine_single(pp, c, policy, key)
+      carry, (feat, action) = nn.scan(
+          p, body, nn.cast(carry), keys, axis=1, length=length)
+    else:
+      def body(pp, c, inp):
+        act, key = inp
+        return self.imagine_single(pp, c, act, key)
+      carry, (feat, action) = nn.scan(
+          p, body, nn.cast(carry), (nn.cast(policy), keys), axis=1,
+          length=length)
+    return carry, feat, action
+
+  # --- Loss ---------------------------------------------------------------
+
+  def loss(self, ctx, carry, tokens, acts, reset, training):
+    metrics = {}
+    carry, entries, feat = self.observe(
+        ctx, carry, tokens, acts, reset, training)
+    p = self.sub(ctx)
+    prior = self._prior(p, feat['deter'])
+    post = feat['logit']
+    dyn = self._dist(sg(post)).kl(self._dist(prior))
+    rep = self._dist(post).kl(self._dist(sg(prior)))
+    if self.free_nats:
+      dyn = jnp.maximum(dyn, self.free_nats)
+      rep = jnp.maximum(rep, self.free_nats)
+    losses = {'dyn': dyn, 'rep': rep}
+    metrics['dyn_ent'] = self._dist(prior).entropy().mean()
+    metrics['rep_ent'] = self._dist(post).entropy().mean()
+    return carry, entries, losses, feat, metrics
+
+  # --- Internals ----------------------------------------------------------
+
+  def _core(self, p, deter, stoch, action):
+    """Block-diagonal GRU core: one fused (g, d, u) batched matmul chain."""
+    g = self.blocks
+    stoch = stoch.reshape((stoch.shape[0], -1))
+    action = action / sg(jnp.maximum(1, jnp.abs(action)))
+    parts = []
+    for (linear, norm), value in zip(self.dynin, (deter, stoch, action)):
+      parts.append(self.actfn(norm(p, linear(p, value))))
+    x = jnp.concatenate(parts, -1)[..., None, :].repeat(g, -2)
+    x = group2flat(jnp.concatenate([flat2group(deter, g), x], -1))
+    for blocklinear, norm in self.dynhid:
+      x = self.actfn(norm(p, blocklinear(p, x)))
+    x = self.dyngru(p, x)
+    gates = jnp.split(flat2group(x, g), 3, -1)
+    reset, cand, update = [group2flat(y) for y in gates]
+    reset = jax.nn.sigmoid(reset)
+    cand = jnp.tanh(reset * cand)
+    update = jax.nn.sigmoid(update - 1)
+    deter = update * cand + (1 - update) * deter
+    return deter
+
+  def _prior(self, p, feat):
+    x = feat
+    for linear, norm in self.img_layers:
+      x = self.actfn(norm(p, linear(p, x)))
+    return self._logit(self.img_logit, p, x)
+
+  def _logit(self, layer, p, x):
+    x = layer(p, x)
+    return x.reshape((*x.shape[:-1], self.stoch, self.classes))
+
+  def _dist(self, logits):
+    out = dists.OneHot(logits, self.unimix)
+    return dists.Agg(out, 1, jnp.sum)
+
+
+class Encoder(nn.Module):
+  """Simple CNN + MLP encoder. Parity: reference rssm.py Encoder."""
+
+  def __init__(
+      self, obs_space, name='enc', units=1024, norm='rms', act='gelu',
+      depth=64, mults=(2, 3, 4, 4), layers=3, kernel=5, symlog=True,
+      outer=False, strided=False, **kw):
+    super().__init__(name)
+    assert all(len(s.shape) <= 3 for s in obs_space.values()), obs_space
+    self.obs_space = obs_space
+    self.veckeys = [k for k, s in obs_space.items() if len(s.shape) <= 2]
+    self.imgkeys = [k for k, s in obs_space.items() if len(s.shape) == 3]
+    self.depths = tuple(depth * m for m in mults)
+    self.symlog = symlog
+    self.outer = outer
+    self.strided = strided
+    self.kernel = kernel
+    self.actfn = nn.act(act)
+    self.kw = kw
+    if self.veckeys:
+      vspace = {k: obs_space[k] for k in self.veckeys}
+      squish = nn.symlog if symlog else None
+      self.vecconcat = nn.DictConcat(vspace, 1, squish=squish)
+      self.mlp_layers = [
+          (nn.Linear(units, f'mlp{i}', **kw), nn.Norm(norm, f'mlp{i}norm'))
+          for i in range(layers)]
+    if self.imgkeys:
+      self.convs = []
+      for i, d in enumerate(self.depths):
+        stride = 2 if (strided and not (outer and i == 0)) else 1
+        self.convs.append((
+            nn.Conv2D(d, kernel, f'cnn{i}', stride=stride, **kw),
+            nn.Norm(norm, f'cnn{i}norm')))
+
+  @property
+  def entry_space(self):
+    return {}
+
+  def initial(self, batch_size):
+    return {}
+
+  def truncate(self, entries, carry=None):
+    return {}
+
+  def __call__(self, ctx, carry, obs, reset, training, single=False):
+    p = self.sub(ctx)
+    bdims = 1 if single else 2
+    bshape = reset.shape[:bdims]
+    outs = []
+    if self.veckeys:
+      vecs = {k: obs[k] for k in self.veckeys}
+      x = self.vecconcat(p, vecs)
+      x = x.reshape((-1, *x.shape[bdims:]))
+      for linear, norm in self.mlp_layers:
+        x = self.actfn(norm(p, linear(p, x)))
+      outs.append(x)
+    if self.imgkeys:
+      imgs = [obs[k] for k in sorted(self.imgkeys)]
+      assert all(x.dtype == jnp.uint8 for x in imgs), [x.dtype for x in imgs]
+      x = nn.cast(jnp.concatenate(imgs, -1), force=True) / 255 - 0.5
+      x = x.reshape((-1, *x.shape[bdims:]))
+      for i, (conv, norm) in enumerate(self.convs):
+        x = conv(p, x)
+        if not self.strided and not (self.outer and i == 0):
+          B, H, W, C = x.shape
+          x = x.reshape((B, H // 2, 2, W // 2, 2, C)).max((2, 4))
+        x = self.actfn(norm(p, x))
+      assert 3 <= x.shape[-3] <= 16, x.shape
+      x = x.reshape((x.shape[0], -1))
+      outs.append(x)
+    x = jnp.concatenate(outs, -1)
+    tokens = x.reshape((*bshape, *x.shape[1:]))
+    return carry, {}, tokens
+
+
+class Decoder(nn.Module):
+  """CNN + MLP decoder with block-space projection.
+
+  Parity: reference rssm.py Decoder including the bspace path that projects
+  deter through a BlockLinear into the conv grid.
+  """
+
+  def __init__(
+      self, obs_space, name='dec', units=1024, norm='rms', act='gelu',
+      outscale=1.0, depth=64, mults=(2, 3, 4, 4), layers=3, kernel=5,
+      symlog=True, bspace=8, outer=False, strided=False, **kw):
+    super().__init__(name)
+    self.obs_space = obs_space
+    self.veckeys = [k for k, s in obs_space.items() if len(s.shape) <= 2]
+    self.imgkeys = [k for k, s in obs_space.items() if len(s.shape) == 3]
+    self.depths = tuple(depth * m for m in mults)
+    self.imgdep = sum(obs_space[k].shape[-1] for k in self.imgkeys)
+    self.imgres = self.imgkeys and obs_space[self.imgkeys[0]].shape[:-1]
+    self.units = units
+    self.bspace = bspace
+    self.outer = outer
+    self.strided = strided
+    self.kernel = kernel
+    self.actfn = nn.act(act)
+    self.kw = kw
+    K = kernel
+    if self.veckeys:
+      spaces = {k: obs_space[k] for k in self.veckeys}
+      o1 = 'categorical'
+      o2 = 'symlog_mse' if symlog else 'mse'
+      outputs = {k: o1 if v.discrete else o2 for k, v in spaces.items()}
+      self.mlp = nn.MLP(layers, units, 'mlp', act=act, norm=norm, **kw)
+      self.vec_head = nn.DictHead(
+          spaces, outputs, 'vec', outscale=outscale, **kw)
+    if self.imgkeys:
+      factor = 2 ** (len(self.depths) - int(bool(outer)))
+      self.minres = [int(x // factor) for x in self.imgres]
+      assert 3 <= self.minres[0] <= 16, (self.minres, self.imgres)
+      shape = (*self.minres, self.depths[-1])
+      self.space_shape = shape
+      if bspace:
+        u = math.prod(shape)
+        self.sp0 = nn.BlockLinear(u, bspace, 'sp0', **kw)
+        self.sp1 = nn.Linear(2 * units, 'sp1', **kw)
+        self.sp1norm = nn.Norm(norm, 'sp1norm')
+        self.sp2 = nn.Linear(shape, 'sp2', **kw)
+        self.spnorm = nn.Norm(norm, 'spnorm')
+      else:
+        self.space_lin = nn.Linear(shape, 'space', **kw)
+        self.space_norm = nn.Norm(norm, 'spacenorm')
+      self.deconvs = []
+      for i, d in reversed(list(enumerate(self.depths[:-1]))):
+        if strided:
+          conv = nn.Conv2D(d, K, f'conv{i}', stride=2, transp=True, **kw)
+        else:
+          conv = nn.Conv2D(d, K, f'conv{i}', **kw)
+        self.deconvs.append((i, conv, nn.Norm(norm, f'conv{i}norm')))
+      okw = dict(**kw, outscale=outscale)
+      if outer:
+        self.imgout = nn.Conv2D(self.imgdep, K, 'imgout', **okw)
+      elif strided:
+        self.imgout = nn.Conv2D(
+            self.imgdep, K, 'imgout', stride=2, transp=True, **okw)
+      else:
+        self.imgout = nn.Conv2D(self.imgdep, K, 'imgout', **okw)
+
+  @property
+  def entry_space(self):
+    return {}
+
+  def initial(self, batch_size):
+    return {}
+
+  def truncate(self, entries, carry=None):
+    return {}
+
+  def __call__(self, ctx, carry, feat, reset, training, single=False):
+    p = self.sub(ctx)
+    assert feat['deter'].shape[-1] % max(self.bspace, 1) == 0
+    recons = {}
+    bshape = reset.shape[:(1 if single else 2)]
+    inp = [nn.cast(feat[k]) for k in ('stoch', 'deter')]
+    inp = [x.reshape((math.prod(bshape), -1)) for x in inp]
+    inp = jnp.concatenate(inp, -1)
+
+    if self.veckeys:
+      x = self.mlp(p, inp)
+      x = x.reshape((*bshape, *x.shape[1:]))
+      outs = self.vec_head(p, x)
+      recons.update(outs)
+
+    if self.imgkeys:
+      if self.bspace:
+        g = self.bspace
+        x0, x1 = nn.cast((feat['deter'], feat['stoch']))
+        x1 = x1.reshape((*x1.shape[:-2], -1))
+        x0 = x0.reshape((-1, x0.shape[-1]))
+        x1 = x1.reshape((-1, x1.shape[-1]))
+        x0 = self.sp0(p, x0)
+        h, w = self.minres
+        # (g h w c) -> (h, w, g*c)
+        c = self.space_shape[-1] // g
+        x0 = x0.reshape((-1, g, h, w, c))
+        x0 = x0.transpose((0, 2, 3, 1, 4)).reshape((-1, h, w, g * c))
+        x1 = self.actfn(self.sp1norm(p, self.sp1(p, x1)))
+        x1 = self.sp2(p, x1)
+        x = self.actfn(self.spnorm(p, x0 + x1))
+      else:
+        x = self.space_lin(p, inp)
+        x = self.actfn(self.space_norm(p, x))
+      for i, conv, norm in self.deconvs:
+        if not self.strided:
+          x = x.repeat(2, -2).repeat(2, -3)
+        x = self.actfn(norm(p, conv(p, x)))
+      if not self.outer and not self.strided:
+        x = x.repeat(2, -2).repeat(2, -3)
+      x = self.imgout(p, x)
+      x = jax.nn.sigmoid(x)
+      x = x.reshape((*bshape, *x.shape[1:]))
+      split = np.cumsum(
+          [self.obs_space[k].shape[-1] for k in self.imgkeys][:-1])
+      for k, out in zip(self.imgkeys, jnp.split(x, split, -1)):
+        recons[k] = dists.Agg(dists.MSE(out), 3, jnp.sum)
+
+    return carry, {}, recons

@@ -142,10 +142,9 @@ class Head(Module):
     lo, hi = self.minstd, self.maxstd
     stddev = (hi - lo) * jax.nn.sigmoid(f32(stddev) + 2.0) + lo
     output = dists.Normal(jnp.tanh(f32(mean)), stddev)
-    output.minent = float(np.asarray(
-        dists.Normal(jnp.zeros(()), lo).entropy()))
-    output.maxent = float(np.asarray(
-        dists.Normal(jnp.zeros(()), hi).entropy()))
+    entropy = lambda s: float(0.5 * np.log(2 * np.pi * s * s) + 0.5)
+    output.minent = entropy(lo)
+    output.maxent = entropy(hi)
     return output
 
   def _normal_logstd(self, p, x):

@@ -270,13 +270,16 @@ class Attention(Module):
 
 
 class DictConcat(Module):
-  """Concatenates dict values into one feature vector; discrete entries are
-  one-hot encoded, continuous optionally squished."""
+  """Concatenates dict values into one feature tensor; discrete entries are
+  one-hot encoded, continuous optionally squished. Batch dims are inferred
+  per key from the space shape; `fdims` event dims are kept before the
+  flattened feature axis (parity: reference nets.py DictConcat)."""
 
-  def __init__(self, spaces, bdims, name='dictconcat', squish=None):
+  def __init__(self, spaces, fdims=1, name='dictconcat', squish=None):
     super().__init__(name)
+    assert fdims >= 1, fdims
     self.spaces = spaces
-    self.bdims = bdims
+    self.fdims = fdims
     self.squish = squish or (lambda x: x)
 
   def __call__(self, ctx, xs):
@@ -284,13 +287,13 @@ class DictConcat(Module):
     for key in sorted(self.spaces.keys()):
       space = self.spaces[key]
       x = xs[key]
+      bdims = x.ndim - len(space.shape)
+      assert x.shape[bdims:] == space.shape, (key, space.shape, x.shape)
       if space.discrete:
-        classes = space.classes
-        x = jax.nn.one_hot(x.astype(jnp.int32), classes)
-        x = x.reshape((*x.shape[:self.bdims], -1))
+        x = jax.nn.one_hot(x.astype(jnp.int32), space.classes)
       else:
         x = cast(self.squish(f32(x)))
-        x = x.reshape((*x.shape[:self.bdims], -1))
+      x = x.reshape((*x.shape[:bdims + self.fdims - 1], -1))
       outs.append(cast(x))
     return jnp.concatenate(outs, -1)
 

@@ -164,6 +164,7 @@ class Agent(corelib.Agent):
         return getattr(model, f'init_{mode}')(ctx, batch_size)
       return fn
 
+    self._train_raw = trainfn
     self._train = jax.jit(trainfn, donate_argnums=(0, 2))
     self._policy = {
         mode: jax.jit(policyfn(mode), donate_argnums=(2,))

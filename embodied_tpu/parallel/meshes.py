@@ -23,7 +23,9 @@ def make_mesh(spec='-1,1,1', devices=None):
   n = len(devices)
   known = int(np.prod([x for x in sizes if x > 0]))
   sizes = [n // known if x == -1 else x for x in sizes]
-  assert int(np.prod(sizes)) == n, (spec, n, sizes)
+  total = int(np.prod(sizes))
+  assert total <= n, (spec, n, sizes)
+  devices = list(devices)[:total]  # Fixed specs may use a device subset.
   try:
     from jax.sharding import AxisType
     # Auto axes: GSPMD propagates shardings and inserts collectives; the

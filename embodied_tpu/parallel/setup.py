@@ -30,16 +30,9 @@ def setup(
     os.environ.pop('JAX_PLATFORMS', None)
   if not prealloc:
     os.environ.setdefault('XLA_PYTHON_CLIENT_PREALLOCATE', 'false')
-  platform_now = platform or os.environ.get('JAX_PLATFORMS', '')
-  if 'tpu' in platform_now or 'axon' in platform_now:
-    # Async collectives and all-gather pipelining keep the ICI busy while
-    # the MXU computes (mirrors the reference's TPU flag set,
-    # /root/reference/embodied/jax/internal.py:80-92).
-    flags.append('--xla_tpu_enable_async_collective_fusion=true')
-    flags.append(
-        '--xla_tpu_enable_async_collective_fusion_fuse_all_gather=true')
-    flags.append('--xla_tpu_overlap_compute_collective_tc=true')
-    flags.append('--xla_enable_async_all_gather=true')
+  # NOTE: modern XLA:TPU enables async collectives and collective/compute
+  # overlap by default; the axon plugin in this image rejects the legacy
+  # tuning flags, so we only forward user-provided xla_flags.
   os.environ['XLA_FLAGS'] = ' '.join(x for x in flags if x).strip()
 
   if cache_dir:

@@ -1,0 +1,88 @@
+"""End-to-end DreamerV3 debug-size runs, incl. multi-device mesh + resume."""
+
+import os
+
+import numpy as np
+
+from embodied_tpu.models import common
+from embodied_tpu.models.dreamerv3 import main as dv3_main
+
+
+def make_config(tmp_path, steps=48, mesh='1,1,1', batch=4):
+  path = os.path.join(os.path.dirname(dv3_main.__file__), 'configs.yaml')
+  return common.assemble_config(path, [
+      '--configs', 'debug',
+      '--task', 'dummy_disc',
+      '--logdir', str(tmp_path),
+      '--batch_size', str(batch),
+      '--batch_length', '8',
+      '--report_length', '8',
+      '--run.steps', str(steps),
+      '--run.train_ratio', '4',
+      '--run.log_every', '0.2',
+      '--run.report_every', '1.0',
+      '--run.save_every', '0.5',
+      '--jax.platform', '',
+      '--jax.mesh', mesh,
+  ])
+
+
+class TestDreamerEndToEnd:
+
+  def test_train_and_resume(self, tmp_path):
+    config = make_config(tmp_path, steps=48)
+    common.run_script(config, dv3_main.make_agent)
+    assert (tmp_path / 'checkpoint.pkl').exists()
+    config = make_config(tmp_path, steps=96)
+    common.run_script(config, dv3_main.make_agent)
+
+  def test_multidevice_mesh(self, tmp_path):
+    config = make_config(tmp_path, steps=48, mesh='2,2,1', batch=4)
+    common.run_script(config, dv3_main.make_agent)
+
+  def test_replay_latent_roundtrip(self, tmp_path):
+    # The train outs must carry refreshed latents keyed by stepid, and the
+    # policy outs must provide the latent entries for replay storage.
+    config = make_config(tmp_path)
+    agent = dv3_main.make_agent(config)
+    ext = agent.ext_space
+    assert 'stepid' in ext and 'consec' in ext
+    assert 'dyn/deter' in ext and 'dyn/stoch' in ext
+
+    B = config.batch_size
+    L = config.batch_length + config.replay_context
+    data = agent._example_batch(B, L)
+    data['is_first'][:, 0] = True
+    carry = agent.init_train(B)
+    carry, outs, mets = agent.train(carry, data)
+    assert 'replay' in outs
+    upd = outs['replay']
+    assert upd['stepid'].shape == (B, config.batch_length, 20)
+    assert upd['dyn/deter'].shape[:2] == (B, config.batch_length)
+    assert np.isfinite(upd['dyn/deter']).all()
+    assert np.isfinite(float(mets['opt/loss']))
+
+  def test_policy_emits_latents(self, tmp_path):
+    config = make_config(tmp_path)
+    agent = dv3_main.make_agent(config)
+    obs = agent._example_obs(3)
+    obs['is_first'][:] = True
+    carry = agent.init_policy(3)
+    carry, act, out = agent.policy(carry, obs)
+    assert 'action' in act
+    assert 'dyn/deter' in out and 'dyn/stoch' in out
+    assert out['dyn/deter'].shape[0] == 3
+
+  def test_report_videos(self, tmp_path):
+    config = make_config(tmp_path)
+    agent = dv3_main.make_agent(config)
+    B = config.batch_size
+    L = config.batch_length + config.replay_context
+    data = agent._example_batch(B, L)
+    data['is_first'][:, 0] = True
+    carry = agent.init_report(B)
+    carry, mets = agent.report(carry, data)
+    videos = [k for k in mets if k.startswith('openloop/')]
+    assert videos, sorted(mets.keys())
+    grid = mets[videos[0]]
+    assert grid.ndim == 4 and grid.dtype == np.uint8
