@@ -49,10 +49,10 @@ class Ctx:
   """Scoped view over a flat store. Cheap to fork; shares mutable dicts."""
 
   __slots__ = ('store', 'create', 'key', 'scope', 'meta', 'updates',
-               '_counter', 'frozen')
+               '_counter', 'frozen', 'recipes')
 
   def __init__(self, store, create=False, key=None, scope='', meta=None,
-               updates=None, counter=None, frozen=False):
+               updates=None, counter=None, frozen=False, recipes=None):
     self.store = store
     self.create = create
     self.key = key
@@ -61,11 +61,15 @@ class Ctx:
     self.updates = updates if updates is not None else {}
     self._counter = counter if counter is not None else [0]
     self.frozen = frozen
+    # In create mode, records how each entry is built so callers can
+    # re-materialize the store cheaply without tracing the model graph:
+    # path -> ('init', init, shape, dtype) | ('copy', src_path).
+    self.recipes = recipes if recipes is not None else {}
 
   def __call__(self, name):
     scope = f'{self.scope}/{name}' if self.scope else str(name)
     return Ctx(self.store, self.create, self.key, scope, self.meta,
-               self.updates, self._counter, self.frozen)
+               self.updates, self._counter, self.frozen, self.recipes)
 
   def path(self, name):
     return f'{self.scope}/{name}' if self.scope else str(name)
@@ -96,6 +100,7 @@ class Ctx:
     assert value.shape == shape, (path, value.shape, shape)
     self.store[path] = value
     self.meta[path] = kind
+    self.recipes[path] = ('init', init, shape, dtype)
     return value
 
   def write(self, name, value):
@@ -118,6 +123,9 @@ class Ctx:
     if path in self.updates:
       return self.updates[path]
     return self.store[path]
+
+  def record_copy(self, dst_path, src_path):
+    self.recipes[dst_path] = ('copy', src_path)
 
   def rng(self, n=None):
     """Fresh PRNG key(s); deterministic per trace via a Python counter."""

@@ -119,6 +119,7 @@ class SlowModel:
       ctx.store[dk] = sv
       # Shadow params must not be trained; mark as state.
       ctx.meta[dk] = 'state'
+      ctx.record_copy(dk, sk)
 
   def update(self, ctx):
     p = ctx(self.model.name + '_ema')

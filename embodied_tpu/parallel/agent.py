@@ -26,6 +26,7 @@ The model contract (duck-typed):
 """
 
 import re
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +60,10 @@ class Agent(corelib.Agent):
         self.batch_size, self.mesh.devices.shape)
 
     self._counters = {'train': 0, 'policy': 0, 'report': 0}
+    # Serializes device use across actor/learner threads: train donates the
+    # store, so no policy call may hold the old buffers mid-donation
+    # (mirrors the reference's policy/train locks, jax/agent.py:157-158).
+    self._device_lock = threading.Lock()
     self._init_store()
     self._build_fns()
     if getattr(jaxcfg, 'precompile', False):
@@ -94,11 +99,13 @@ class Agent(corelib.Agent):
     return jax.random.PRNGKey(self.seed)
 
   def _init_store(self):
+    import zlib
     length = self.batch_length + self.replay_context
     data = self._example_batch(self.batch_size, length)
     meta_cell = {}
+    recipe_cell = {}
 
-    def initfn(seedctr, data):
+    def tracefn(seedctr, data):
       key = jax.random.fold_in(self._base_key(), seedctr)
       ctx = Ctx({}, create=True, key=key)
       carry = self.model.init_train(ctx, self.batch_size)
@@ -107,16 +114,40 @@ class Agent(corelib.Agent):
       self.model.init_report(ctx, self.batch_size)
       store = {**ctx.store, **ctx.updates}
       meta_cell.update(ctx.meta)
+      recipe_cell.update(ctx.recipes)
       return store
 
-    shapes = jax.eval_shape(initfn, 0, data)
+    data_shapes = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), data)
+    shapes = jax.eval_shape(tracefn, 0, data_shapes)
     self.meta = dict(meta_cell)
+    missing = set(shapes) - set(recipe_cell)
+    assert not missing, f'Entries without init recipes: {sorted(missing)[:5]}'
     rules = getattr(self.model, 'partition_rules', [])
     self.shardings = meshes.resolve_rules(shapes, rules, self.mesh)
+
+    # Materialize the store from the recorded recipes only: this avoids
+    # tracing/compiling the whole train graph a second time just for init
+    # (params are keyed by path hash, so values match the traced init).
+    def fastinit(seedctr):
+      key = jax.random.fold_in(self._base_key(), seedctr)
+      store = {}
+      for path, recipe in recipe_cell.items():
+        if recipe[0] != 'init':
+          continue
+        _, init, shape, dtype = recipe
+        if callable(init):
+          pkey = jax.random.fold_in(key, zlib.crc32(path.encode()))
+          store[path] = init(pkey, shape, dtype)
+        else:
+          store[path] = jnp.full(shape, init, dtype)
+      for path, recipe in recipe_cell.items():
+        if recipe[0] == 'copy':
+          store[path] = store[recipe[1]]
+      return store
+
     with timer.section('agent_init_params'):
-      self.store = jax.jit(
-          initfn, out_shardings=self.shardings,
-          static_argnums=())(0, self._device_batch(data))
+      self.store = jax.jit(fastinit, out_shardings=self.shardings)(0)
     total = sum(
         v.size for k, v in self.store.items()
         if self.meta.get(k) == 'param')
@@ -209,35 +240,38 @@ class Agent(corelib.Agent):
   @timer.section('agent_policy')
   def policy(self, carry, obs, mode='train'):
     obs = {k: v for k, v in obs.items() if not k.startswith('log/')}
-    obs = self._device_batch(obs)
-    self._counters['policy'] += 1
-    fn = self._policy.get(mode, self._policy['train'])
-    carry, act, out = fn(
-        self.policy_store(), self._counters['policy'], carry, obs)
-    act, out = jax.device_get((act, out))
+    with self._device_lock:
+      obs = self._device_batch(obs)
+      self._counters['policy'] += 1
+      fn = self._policy.get(mode, self._policy['train'])
+      carry, act, out = fn(
+          self.policy_store(), self._counters['policy'], carry, obs)
+      act, out = jax.device_get((act, out))
     act = {k: np.asarray(v) for k, v in act.items()}
     out = {k: np.asarray(v) for k, v in out.items()}
     return carry, act, out
 
   @timer.section('agent_train')
   def train(self, carry, data):
-    if not isinstance(next(iter(data.values())), jax.Array):
-      data = self._device_batch(data)
-    self._counters['train'] += 1
-    self.store, carry, outs, mets = self._train(
-        self.store, self._counters['train'], carry, data)
-    outs = jax.device_get(outs)
-    mets = jax.device_get(mets)
+    with self._device_lock:
+      if not isinstance(next(iter(data.values())), jax.Array):
+        data = self._device_batch(data)
+      self._counters['train'] += 1
+      self.store, carry, outs, mets = self._train(
+          self.store, self._counters['train'], carry, data)
+      outs = jax.device_get(outs)
+      mets = jax.device_get(mets)
     return carry, outs, mets
 
   @timer.section('agent_report')
   def report(self, carry, data):
-    if not isinstance(next(iter(data.values())), jax.Array):
-      data = self._device_batch(data)
-    self._counters['report'] += 1
-    carry, mets = self._report(
-        dict(self.store), self._counters['report'], carry, data)
-    return carry, jax.device_get(mets)
+    with self._device_lock:
+      if not isinstance(next(iter(data.values())), jax.Array):
+        data = self._device_batch(data)
+      self._counters['report'] += 1
+      carry, mets = self._report(
+          dict(self.store), self._counters['report'], carry, data)
+      return carry, jax.device_get(mets)
 
   def stream(self, source):
     return streamlib.Prefetch(source, transform=self._device_batch, amount=2)
@@ -257,7 +291,7 @@ class Agent(corelib.Agent):
   # --- Checkpointing ------------------------------------------------------
 
   def save(self):
-    with timer.section('agent_save'):
+    with timer.section('agent_save'), self._device_lock:
       host = jax.device_get(dict(self.store))
       return {
           'store': {k: np.asarray(v) for k, v in host.items()},

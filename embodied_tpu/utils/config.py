@@ -78,6 +78,11 @@ class Config(dict):
     except KeyError:
       return False
 
+  def __reduce__(self):
+    # dict subclasses pickle via item insertion by default, which our
+    # immutability guard blocks; rebuild through the constructor instead.
+    return (type(self), (dict(self),))
+
   def __setitem__(self, key, value):
     raise TypeError('Config is immutable; use update()')
 

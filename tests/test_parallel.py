@@ -1,0 +1,151 @@
+"""Actor-learner system test: all roles on one machine over real sockets.
+
+Mirrors the reference's strategy (/root/reference/embodied/tests/
+test_parallel.py): the topology is real (processes, sockets, batching
+server), only colocated.
+"""
+
+import multiprocessing as mp
+import os
+import time
+
+import pytest
+
+from embodied_tpu import remote
+
+
+def _run_combined(logdir):
+  # Runs in a child process so that daemon threads die with it.
+  import numpy as np
+  from embodied_tpu import core
+  from embodied_tpu.core import streams
+  from embodied_tpu.envs import Dummy
+  from embodied_tpu.run import parallel_impl
+  from embodied_tpu.utils import Config, Counter, Logger, TerminalOutput
+
+  envs = 4
+  args = Config(
+      logdir=logdir,
+      steps=1e5,
+      duration=15,
+      train_ratio=4.0,
+      log_every=2.0,
+      report_every=1e9,
+      save_every=5.0,
+      envs=envs,
+      eval_envs=0,
+      eval_eps=1,
+      report_batches=1,
+      from_checkpoint='',
+      episode_timeout=60,
+      actor_addr=f'localhost:{remote.free_port()}',
+      replay_addr=f'localhost:{remote.free_port()}',
+      logger_addr=f'localhost:{remote.free_port()}',
+      actor_batch=2,
+      actor_threads=1,
+      remote_replay=False,
+      remote_envs=False,
+      usage={'psutil': False},
+      debug=True,
+      batch_size=4,
+      batch_length=8,
+      report_length=8,
+      consec_train=1,
+      consec_report=1,
+      replay_context=0,
+      replica=0,
+      replicas=1,
+  )
+
+  def make_env(i):
+    return Dummy('disc', size=(8, 8), length=20)
+
+  def make_agent():
+    import utils as test_utils
+    env = make_env(0)
+    agent = test_utils.TestAgent(env.obs_space, env.act_space)
+    env.close()
+    return agent
+
+  def make_replay(mode='train'):
+    return core.Replay(length=args.batch_length, capacity=1e4, chunksize=64)
+
+  def make_stream(replay, mode):
+    return streams.Stateless(
+        lambda: replay.sample(args.batch_size, mode))
+
+  def make_logger():
+    return Logger(Counter(), [TerminalOutput(limit=6)])
+
+  parallel_impl.combined(
+      make_agent, lambda: make_replay('train'), lambda: make_replay('eval'),
+      make_env, make_env, make_stream, make_logger, args)
+
+
+class TestParallel:
+
+  def test_combined_roles(self, tmp_path):
+    logdir = str(tmp_path)
+    ctx = mp.get_context('spawn')
+    proc = ctx.Process(target=_run_combined, args=(logdir,))
+    proc.start()
+    proc.join(timeout=90)
+    if proc.is_alive():
+      proc.terminate()
+      proc.join(10)
+      raise AssertionError('combined() did not stop within its duration')
+    # The roles must have saved their checkpoints, proving the full loop
+    # (env -> actor -> replay -> learner -> logger) executed.
+    files = os.listdir(logdir)
+    assert 'agent.pkl' in files, files
+    assert 'replay.pkl' in files, files
+    assert 'logger.pkl' in files, files
+
+
+class TestRPC:
+
+  def test_client_server_roundtrip(self):
+    port = remote.free_port()
+    server = remote.Server(port, 'TestServer')
+    server.bind('double', lambda x: {'y': x['x'] * 2})
+    server.start(block=False)
+    try:
+      import numpy as np
+      client = remote.Client(port, 'TestClient', connect=True)
+      out = client.call('double', {'x': np.arange(4)}).result(timeout=10)
+      assert (out['y'] == np.arange(4) * 2).all()
+      # Unknown method surfaces an error.
+      with pytest.raises(RuntimeError):
+        client.call('nosuch').result(timeout=10)
+      client.close()
+    finally:
+      server.close()
+
+  def test_batch_server(self):
+    import numpy as np
+    port = remote.free_port()
+    server = remote.BatchServer(port, 'TestBatch')
+    seen = []
+
+    def workfn(obs):
+      assert obs['v'].shape == (3,)
+      return {'out': obs['v'] * 10}, {'sum': obs['v'].sum()}
+
+    def postfn(extra):
+      seen.append(extra['sum'])
+
+    server.bind('act', workfn, postfn, batch=3, workers=1)
+    server.start(block=False)
+    try:
+      clients = [
+          remote.Client(port, f'C{i}', connect=True) for i in range(3)]
+      futures = [
+          c.call('act', {'v': np.int64(i)}) for i, c in enumerate(clients)]
+      results = [f.result(timeout=15) for f in futures]
+      outs = sorted(int(r['out']) for r in results)
+      assert outs == [0, 10, 20]
+      time.sleep(0.2)
+      assert seen and int(seen[0]) == 3
+      [c.close() for c in clients]
+    finally:
+      server.close()
