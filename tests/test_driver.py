@@ -67,3 +67,33 @@ class TestDriver:
       if tran['is_last']:
         assert np.allclose(tran['action'], 0.0)
     driver.close()
+
+
+class TestPinPad:
+
+  def test_pinpad_episode(self):
+    from embodied_tpu.envs import PinPad
+    env = PinPad('three', length=50, seed=0)
+    obs = env.step({'action': 0, 'reset': True})
+    assert obs['is_first']
+    assert obs['image'].shape == (64, 64, 3)
+    total = 0.0
+    for i in range(60):
+      obs = env.step({'action': int(i % 5), 'reset': False})
+      total += float(obs['reward'])
+      if obs['is_last']:
+        break
+    assert obs['is_last']
+
+  def test_pinpad_reward_for_sequence(self):
+    from embodied_tpu.envs import pinpad
+    env = pinpad.PinPad('three', length=1000, seed=0)
+    env.step({'action': 0, 'reset': True})
+    # Walk onto each pad region in order by teleporting the player.
+    reward = 0.0
+    for pad in (1, 2, 3):
+      xs, ys = np.where(env.layout == pad)
+      env.player = (int(xs[0]), int(ys[0]))
+      obs = env.step({'action': 0, 'reset': False})
+      reward += float(obs['reward'])
+    assert reward == 10.0, reward
