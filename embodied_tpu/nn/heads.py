@@ -98,8 +98,11 @@ class Head(Module):
   def __call__(self, ctx, x):
     p = self.sub(ctx)
     output = getattr(self, '_' + self.impl)(p, x)
-    if self.space.shape:
-      output = dists.Agg(output, len(self.space.shape), jnp.sum)
+    # OneHot distributions already consume the trailing class axis, so one
+    # fewer event dim remains to aggregate.
+    dims = len(self.space.shape) - (1 if self.impl == 'onehot' else 0)
+    if dims > 0:
+      output = dists.Agg(output, dims, jnp.sum)
     assert output.pred().shape[x.ndim - 1:] == self.space.shape, (
         self.space, self.impl, x.shape, output.pred().shape)
     return output
