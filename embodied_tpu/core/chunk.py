@@ -43,10 +43,14 @@ class Chunk:
   def append(self, step):
     assert self.length < self.size, 'Chunk is full'
     if self.columns is None:
-      self.columns = {
-          key: np.empty((self.size, *np.asarray(v).shape),
-                        np.asarray(v).dtype)
-          for key, v in step.items()}
+      self.columns = {}
+      for key, v in step.items():
+        v = np.asarray(v)
+        column = np.empty((self.size, *v.shape), v.dtype)
+        # Prefault the pages now: sequential first-touch is far cheaper
+        # than faulting one row per append (microVM page faults are slow).
+        column.fill(0)
+        self.columns[key] = column
     index = self.length
     for key, value in step.items():
       self.columns[key][index] = value

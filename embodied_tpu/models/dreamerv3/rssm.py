@@ -49,7 +49,7 @@ class RSSM(nn.Module):
     self.stoch = stoch
     self.classes = classes
     self.unimix = unimix
-    self.unroll = unroll
+    self.unroll = int(unroll)
     self.absolute = absolute
     self.blocks = blocks
     self.free_nats = free_nats
@@ -114,7 +114,8 @@ class RSSM(nn.Module):
     # time axis lines up with axis=1 of the data.
     keys = jax.random.split(ctx.rng(), T).T
     carry, (entries, feat) = nn.scan(
-        p, self._observe, carry, (tokens, action, reset, keys), axis=1)
+        p, self._observe, carry, (tokens, action, reset, keys), axis=1,
+        unroll=self.unroll or 1)
     return carry, entries, feat
 
   def _observe(self, p, carry, inputs):
@@ -161,14 +162,15 @@ class RSSM(nn.Module):
       def body(pp, c, key):
         return self.imagine_single(pp, c, policy, key)
       carry, (feat, action) = nn.scan(
-          p, body, nn.cast(carry), keys, axis=1, length=length)
+          p, body, nn.cast(carry), keys, axis=1, length=length,
+          unroll=self.unroll or 1)
     else:
       def body(pp, c, inp):
         act, key = inp
         return self.imagine_single(pp, c, act, key)
       carry, (feat, action) = nn.scan(
           p, body, nn.cast(carry), (nn.cast(policy), keys), axis=1,
-          length=length)
+          length=length, unroll=self.unroll or 1)
     return carry, feat, action
 
   # --- Loss ---------------------------------------------------------------

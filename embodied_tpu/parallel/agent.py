@@ -253,14 +253,22 @@ class Agent(corelib.Agent):
 
   @timer.section('agent_train')
   def train(self, carry, data):
+    """One train step. Outputs and metrics are fetched with a one-step
+    delay so the host transfer overlaps device compute (parity:
+    /root/reference/embodied/jax/agent.py:286-294 pending_outs)."""
     with self._device_lock:
       if not isinstance(next(iter(data.values())), jax.Array):
         data = self._device_batch(data)
       self._counters['train'] += 1
       self.store, carry, outs, mets = self._train(
           self.store, self._counters['train'], carry, data)
-      outs = jax.device_get(outs)
-      mets = jax.device_get(mets)
+      # Start device->host DMA for this step's outputs without blocking.
+      jax.tree.map(lambda x: x.copy_to_host_async(), (outs, mets))
+      pending, self._pending_train = (
+          getattr(self, '_pending_train', None), (outs, mets))
+      # First call fetches synchronously; afterwards we always return the
+      # previous step's results while this step's transfer is in flight.
+      outs, mets = jax.device_get(pending or self._pending_train)
     return carry, outs, mets
 
   @timer.section('agent_report')
