@@ -92,10 +92,16 @@ class Model:
     spaces['consec'] = Space(np.int32)
     spaces['stepid'] = Space(np.uint8, 20)
     if self.config.replay_context:
-      spaces.update(tree.flatdict(dict(
+      entries = tree.flatdict(dict(
           enc=self.enc.entry_space,
           dyn=self.dyn.entry_space,
-          dec=self.dec.entry_space)))
+          dec=self.dec.entry_space))
+      # Latents travel host<->device every step; float16 halves the bytes
+      # without affecting training (they are cast to compute dtype on use).
+      entries = {
+          k: Space(np.float16, v.shape) if v.dtype == np.float32 else v
+          for k, v in entries.items()}
+      spaces.update(entries)
     return spaces
 
   # --- Carries ------------------------------------------------------------
@@ -139,9 +145,9 @@ class Model:
     out.update({f'log/finite/{k}': v for k, v in finite.items()})
     carry = (enc_carry, dyn_carry, dec_carry, act)
     if self.config.replay_context:
-      out.update(tree.flatdict(dict(
-          enc=nn.f32(enc_entry), dyn=nn.f32(dyn_entry),
-          dec=nn.f32(dec_entry))))
+      entries = tree.flatdict(dict(
+          enc=enc_entry, dyn=dyn_entry, dec=dec_entry))
+      out.update({k: v.astype(jnp.float16) for k, v in entries.items()})
     return carry, act, out
 
   def _feat2tensor(self, feat):
@@ -166,7 +172,8 @@ class Model:
       B, T = obs['is_first'].shape
       assert all(x.shape[:2] == (B, T) for x in updates.values()), (
           (B, T), {k: v.shape for k, v in updates.items()})
-      outs['replay'] = nn.f32(updates)
+      outs['replay'] = jax.tree.map(
+          lambda x: x.astype(jnp.float16), updates)
       outs['replay']['stepid'] = stepid
     carry = (*carry, {k: data[k][:, -1] for k in self.act_space})
     return carry, outs, metrics

@@ -106,25 +106,38 @@ class RSSM(nn.Module):
     p = self.sub(ctx)
     carry, tokens, action = nn.cast((carry, tokens, action))
     if single:
+      actfeat = self._action_feat(p, nn.mask(action, ~reset), ~reset)
       carry, (entry, feat) = self._observe(
-          p, carry, (tokens, action, reset, ctx.rng()))
+          p, carry, (tokens, actfeat, reset, ctx.rng()))
       return carry, entry, feat
     T = reset.shape[1]
+    # The action embedding only depends on known inputs, so it is computed
+    # for the whole sequence as one batched matmul OUTSIDE the scan (the
+    # recurrence only carries deter/stoch); this keeps the scan body small
+    # and feeds the MXU a (B*T, .) matmul instead of T tiny ones.
+    actfeat = self._action_feat(p, nn.mask(action, ~reset), ~reset)
     # Per-step sampling keys ride along the scan: (T, 2) transposed so the
     # time axis lines up with axis=1 of the data.
     keys = jax.random.split(ctx.rng(), T).T
     carry, (entries, feat) = nn.scan(
-        p, self._observe, carry, (tokens, action, reset, keys), axis=1,
+        p, self._observe, carry, (tokens, actfeat, reset, keys), axis=1,
         unroll=self.unroll or 1)
     return carry, entries, feat
 
-  def _observe(self, p, carry, inputs):
-    tokens, action, reset, key = inputs
-    deter, stoch, action = nn.mask(
-        (carry['deter'], carry['stoch'], action), ~reset)
+  def _action_feat(self, p, action, available_mask=None):
+    """Embed the action dict: concat -> clip -> linear+norm+act."""
     action = self.actconcat(p, action)
-    action = nn.mask(action, ~reset)
-    deter = self._core(p, deter, stoch, action)
+    if available_mask is not None:
+      action = nn.mask(action, available_mask)
+    action = action / sg(jnp.maximum(1, jnp.abs(action)))
+    linear, norm = self.dynin[2]
+    return self.actfn(norm(p, linear(p, action)))
+
+  def _observe(self, p, carry, inputs):
+    tokens, actfeat, reset, key = inputs
+    deter, stoch, actfeat = nn.mask(
+        (carry['deter'], carry['stoch'], actfeat), ~reset)
+    deter = self._core(p, deter, stoch, actfeat)
     tokens = tokens.reshape((*deter.shape[:-1], -1))
     x = tokens if self.absolute else jnp.concatenate([deter, tokens], -1)
     for linear, norm in self.obs_layers:
@@ -145,8 +158,8 @@ class RSSM(nn.Module):
       action = policy_or_action(sg(carry), pkey)
     else:
       action = policy_or_action
-    actemb = self.actconcat(p, nn.cast(action))
-    deter = self._core(p, carry['deter'], carry['stoch'], actemb)
+    actfeat = self._action_feat(p, nn.cast(action))
+    deter = self._core(p, carry['deter'], carry['stoch'], actfeat)
     logit = self._prior(p, deter)
     stoch = nn.cast(self._dist(logit).sample(key))
     carry = nn.cast(dict(deter=deter, stoch=stoch))
@@ -194,14 +207,15 @@ class RSSM(nn.Module):
 
   # --- Internals ----------------------------------------------------------
 
-  def _core(self, p, deter, stoch, action):
-    """Block-diagonal GRU core: one fused (g, d, u) batched matmul chain."""
+  def _core(self, p, deter, stoch, actfeat):
+    """Block-diagonal GRU core: one fused (g, d, u) batched matmul chain.
+    `actfeat` is the precomputed action embedding from _action_feat."""
     g = self.blocks
     stoch = stoch.reshape((stoch.shape[0], -1))
-    action = action / sg(jnp.maximum(1, jnp.abs(action)))
     parts = []
-    for (linear, norm), value in zip(self.dynin, (deter, stoch, action)):
+    for (linear, norm), value in zip(self.dynin[:2], (deter, stoch)):
       parts.append(self.actfn(norm(p, linear(p, value))))
+    parts.append(actfeat)
     x = jnp.concatenate(parts, -1)[..., None, :].repeat(g, -2)
     x = group2flat(jnp.concatenate([flat2group(deter, g), x], -1))
     for blocklinear, norm in self.dynhid:

@@ -15,6 +15,7 @@ slot shards exactly like its parameter.
 import re
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from .core import Ctx, Module
@@ -37,8 +38,14 @@ class Optimizer(Module):
   def __init__(
       self, scopes, name='opt', lr=4e-5, agc=0.3, eps=1e-20, beta1=0.9,
       beta2=0.999, momentum=True, nesterov=False, wd=0.0, wdregex=r'/kernel$',
-      schedule='const', warmup=1000, anneal=0, pmin=1e-3, summary_depth=2):
+      schedule='const', warmup=1000, anneal=0, pmin=1e-3, summary_depth=2,
+      fused=True):
     super().__init__(name)
+    # fused=True keeps one flat slot vector per moment and runs the
+    # RMS/momentum math as a handful of ops over it, instead of ~15 ops per
+    # parameter tensor; this shrinks the train graph (and its compile time)
+    # substantially for models with hundreds of parameters.
+    self.fused = fused
     self.scopes = tuple(scopes) if isinstance(scopes, (list, tuple)) else (
         scopes,)
     self.lr = lr
@@ -113,10 +120,33 @@ class Optimizer(Module):
 
     step = p.state('step', (), 0, i32)
     lr = self._lr(step)
+    if self.fused:
+      new_params, stats = self._fused_update(p, params, grads, step, lr)
+    else:
+      new_params, stats = self._perparam_update(p, params, grads, step, lr)
+    gsq_total, usq_total, psq_total, count = stats
+    p.write('step', step + 1)
+    # State updates recorded inside the loss (normalizers etc.) first, then
+    # the parameter updates, which must win on any overlap.
+    for path, value in inner_updates.items():
+      ctx.write_path(path, value)
+    for path, value in new_params.items():
+      ctx.write_path(path, value)
+
+    metrics['loss'] = loss.mean()
+    metrics['updates'] = f32(step + 1)
+    metrics['grad_norm'] = jnp.sqrt(gsq_total)
+    metrics['grad_rms'] = jnp.sqrt(gsq_total / count)
+    metrics['update_rms'] = jnp.sqrt(usq_total / count)
+    metrics['param_rms'] = jnp.sqrt(psq_total / count)
+    metrics['param_count'] = f32(count)
+    metrics['lr'] = lr
+    metrics = {f'{self.name}/{k}': v for k, v in metrics.items()}
+    return (metrics, aux) if has_aux else metrics
+
+  def _perparam_update(self, p, params, grads, step, lr):
     new_params = {}
-    gsq_total = 0.0
-    usq_total = 0.0
-    psq_total = 0.0
+    gsq = usq = psq = 0.0
     count = 0
     for path, grad in grads.items():
       param = params[path]
@@ -145,31 +175,77 @@ class Optimizer(Module):
         update = update + self.wd * param
       update = -lr * update
       new_params[path] = param + update
-      gsq_total += jnp.square(grad).sum()
-      usq_total += jnp.square(update).sum()
-      psq_total += jnp.square(param).sum()
+      gsq += jnp.square(grad).sum()
+      usq += jnp.square(update).sum()
+      psq += jnp.square(param).sum()
       count += param.size
-    p.write('step', step + 1)
-    # State updates recorded inside the loss (normalizers etc.) first, then
-    # the parameter updates, which must win on any overlap.
-    for path, value in inner_updates.items():
-      ctx.write_path(path, value)
-    for path, value in new_params.items():
-      ctx.write_path(path, value)
+    return new_params, (gsq, usq, psq, count)
 
-    metrics['loss'] = loss.mean()
-    metrics['updates'] = f32(step + 1)
-    metrics['grad_norm'] = jnp.sqrt(gsq_total)
-    metrics['grad_rms'] = jnp.sqrt(gsq_total / count)
-    metrics['update_rms'] = jnp.sqrt(usq_total / count)
-    metrics['param_rms'] = jnp.sqrt(psq_total / count)
-    metrics['param_count'] = f32(count)
-    metrics['lr'] = lr
-    metrics = {f'{self.name}/{k}': v for k, v in metrics.items()}
-    return (metrics, aux) if has_aux else metrics
+  def _layout(self, params):
+    paths = sorted(params.keys())
+    sizes = [int(np.prod(params[p].shape)) for p in paths]
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    return paths, sizes, offsets
+
+  def _fused_update(self, p, params, grads, step, lr):
+    paths, sizes, offsets = self._layout(params)
+    total = int(offsets[-1])
+    assert all(params[k].dtype == jnp.float32 for k in paths), (
+        'fused optimizer requires fp32 params')
+
+    pieces = []
+    wd_pieces = []
+    for path in paths:
+      grad, param = grads[path], params[path]
+      update = grad
+      if self.agc:
+        unorm = jnp.linalg.norm(update.ravel())
+        pnorm = jnp.linalg.norm(param.ravel())
+        upper = self.agc * jnp.maximum(self.pmin, pnorm)
+        update = update * (1 / jnp.maximum(1.0, unorm / upper))
+      pieces.append(update.ravel())
+      if self.wd:
+        mask = float(bool(self.wdpattern.search(path)))
+        wd_pieces.append(jnp.full((param.size,), mask, f32))
+    vec = jnp.concatenate(pieces)
+    pvec = jnp.concatenate([params[k].ravel() for k in paths])
+
+    nu = p.state('rms_flat', (total,), 0.0, f32)
+    nu = self.beta2 * nu + (1 - self.beta2) * jnp.square(vec)
+    p.write('rms_flat', nu)
+    nu_hat = nu / (1 - self.beta2 ** f32(step + 1))
+    vec = vec / (jnp.sqrt(nu_hat) + self.eps)
+    if self.momentum:
+      mu = p.state('mom_flat', (total,), 0.0, f32)
+      mu = self.beta1 * mu + (1 - self.beta1) * vec
+      p.write('mom_flat', mu)
+      if self.nesterov:
+        mu_use = self.beta1 * mu + (1 - self.beta1) * vec
+      else:
+        mu_use = mu
+      vec = mu_use / (1 - self.beta1 ** f32(step + 1))
+    if self.wd:
+      vec = vec + self.wd * jnp.concatenate(wd_pieces) * pvec
+    vec = -lr * vec
+    new_pvec = pvec + vec
+
+    new_params = {}
+    for path, size, offset in zip(paths, sizes, offsets[:-1]):
+      new_params[path] = jax.lax.dynamic_slice_in_dim(
+          new_pvec, int(offset), size).reshape(params[path].shape)
+    gsq = sum(jnp.square(g).sum() for g in grads.values())
+    usq = jnp.square(vec).sum()
+    psq = jnp.square(pvec).sum()
+    return new_params, (gsq, usq, psq, total)
 
   def _make_slots(self, p, params):
     p.state('step', (), 0, i32)
+    if self.fused:
+      total = int(sum(int(np.prod(v.shape)) for v in params.values()))
+      p.state('rms_flat', (total,), 0.0, f32)
+      if self.momentum:
+        p.state('mom_flat', (total,), 0.0, f32)
+      return
     for path, param in params.items():
       slot = path.replace('/', '.')
       p.state(f'rms.{slot}', param.shape, 0.0, f32)

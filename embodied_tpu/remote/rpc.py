@@ -8,9 +8,12 @@ BatchServer batching requests from many clients into one call of
 workfn(batched) -> (results, extra) with postfn(extra); free_port();
 Disconnected exception.
 
-Wire format: 8-byte big-endian length prefix + pickle (protocol 5).
-Payloads are dicts of numpy arrays; pickle-5 keeps large arrays zero-copy
-on the serialization side.
+Wire format per frame:
+  8-byte total length | 4-byte meta length | pickle-5 meta | raw buffers.
+Large array payloads ride OUT-OF-BAND: pickle-5's buffer_callback captures
+them without copying, the frame is sent with sendmsg scatter/gather, and
+the receiver reconstructs the arrays directly over the received bytes —
+no pickling memcpy of array data on either side.
 """
 
 import pickle
@@ -23,6 +26,7 @@ import time
 import numpy as np
 
 _HEADER = struct.Struct('>Q')
+_META = struct.Struct('>I')
 
 
 class Disconnected(Exception):
@@ -36,18 +40,57 @@ def free_port():
 
 
 def _send(sock, lock, payload):
-  blob = pickle.dumps(payload, protocol=5)
+  buffers = []
+  meta = pickle.dumps(payload, protocol=5, buffer_callback=buffers.append)
+  views = []
+  for buf in buffers:
+    view = buf.raw()
+    views.append(view if view.c_contiguous else bytes(view))
+  sizes = struct.pack(
+      f'>I{len(views)}Q', len(views),
+      *[memoryview(v).nbytes for v in views])
+  total = _META.size + len(meta) + len(sizes) + sum(
+      memoryview(v).nbytes for v in views)
+  parts = [_HEADER.pack(total) + _META.pack(len(meta)), meta, sizes, *views]
   with lock:
     try:
-      sock.sendall(_HEADER.pack(len(blob)) + blob)
+      _sendall_parts(sock, parts)
     except OSError as e:
       raise Disconnected(str(e))
 
 
+def _sendall_parts(sock, parts):
+  # Scatter/gather send; falls back to sequential sendall on partial sends.
+  remaining = [memoryview(p).cast('B') if not isinstance(p, bytes) else p
+               for p in parts]
+  total = sum(len(p) if isinstance(p, bytes) else p.nbytes
+              for p in remaining)
+  sent = sock.sendmsg(remaining)
+  if sent == total:
+    return
+  # Slow path: flatten what remains and sendall.
+  flat = b''.join(bytes(p) for p in remaining)
+  sock.sendall(flat[sent:])
+
+
 def _recv(sock):
   header = _recv_exact(sock, _HEADER.size)
-  (length,) = _HEADER.unpack(header)
-  return pickle.loads(_recv_exact(sock, length))
+  (total,) = _HEADER.unpack(header)
+  frame = _recv_exact(sock, total)
+  view = memoryview(frame)
+  (meta_len,) = _META.unpack(view[:_META.size])
+  offset = _META.size
+  meta = view[offset:offset + meta_len]
+  offset += meta_len
+  (nbufs,) = struct.unpack_from('>I', view, offset)
+  offset += 4
+  sizes = struct.unpack_from(f'>{nbufs}Q', view, offset)
+  offset += 8 * nbufs
+  buffers = []
+  for size in sizes:
+    buffers.append(view[offset:offset + size])
+    offset += size
+  return pickle.loads(meta, buffers=buffers)
 
 
 def _recv_exact(sock, amount):

@@ -77,7 +77,7 @@ class TestOptimizer:
     x = jnp.linspace(-1, 1, 64)[:, None]
     y = jnp.sin(3 * x)
     store, meta = nn.init(trainfn)(jax.random.PRNGKey(0), x, y)
-    assert any(k.startswith('opt/rms.') for k in store)
+    assert any(k.startswith('opt/rms') for k in store)
     assert meta['opt/step'] == 'state'
 
     step = jax.jit(nn.pure(trainfn, meta))
