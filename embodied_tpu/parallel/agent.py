@@ -52,12 +52,30 @@ class Agent(corelib.Agent):
     self.replay_context = config.replay_context
     self.seed = int(config.seed)
 
+    # Multi-host: every process holds batch_size rows; the global batch is
+    # batch_size * process_count (parity: reference jax/agent.py:199-217).
+    self.nprocs = jax.process_count()
+    if self.nprocs > 1:
+      self.batch_size = self.batch_size * self.nprocs
+      print(f'Global batch size: {self.batch_size} ({self.nprocs} hosts)')
+
     self.mesh = meshes.make_mesh(getattr(jaxcfg, 'mesh', '-1,1,1'))
     self.data_sharding = meshes.data_sharding(self.mesh)
     self.replicated = meshes.replicated(self.mesh)
     self.nbatch = int(np.prod(self.mesh.devices.shape[:2]))
     assert self.batch_size % self.nbatch == 0, (
         self.batch_size, self.mesh.devices.shape)
+
+    # Optional policy/train device split: the policy runs on its own mesh
+    # with a double-buffered copy of the policy parameters (parity:
+    # reference jax/agent.py:80-104,277-284).
+    policy_mesh_spec = getattr(jaxcfg, 'policy_mesh', '')
+    if policy_mesh_spec:
+      self.policy_mesh = meshes.make_mesh(policy_mesh_spec)
+      self._policy_cache = None
+      self._policy_dirty = True
+    else:
+      self.policy_mesh = None
 
     self._counters = {'train': 0, 'policy': 0, 'report': 0}
     # Serializes device use across actor/learner threads: train donates the
@@ -159,7 +177,16 @@ class Agent(corelib.Agent):
     return [k for k in self.store if pattern.search(k)]
 
   def policy_store(self):
-    return {k: self.store[k] for k in self._policy_paths()}
+    subset = {k: self.store[k] for k in self._policy_paths()}
+    if self.policy_mesh is None:
+      return subset  # Shares device buffers with the train store.
+    # Split mode: copy params to the policy mesh when stale.
+    if self._policy_dirty or self._policy_cache is None:
+      replicated = meshes.replicated(self.policy_mesh)
+      self._policy_cache = {
+          k: jax.device_put(v, replicated) for k, v in subset.items()}
+      self._policy_dirty = False
+    return self._policy_cache
 
   # --- Jitted functions ---------------------------------------------------
 
@@ -232,16 +259,24 @@ class Agent(corelib.Agent):
     return self._init_fns['policy'](dict(self.store), batch_size)
 
   def init_train(self, batch_size):
-    return self._init_fns['train'](dict(self.store), batch_size)
+    # Callers pass the per-host batch size; carries span the global batch.
+    return self._init_fns['train'](
+        dict(self.store), batch_size * self.nprocs)
 
   def init_report(self, batch_size):
-    return self._init_fns['report'](dict(self.store), batch_size)
+    return self._init_fns['report'](
+        dict(self.store), batch_size * self.nprocs)
 
   @timer.section('agent_policy')
   def policy(self, carry, obs, mode='train'):
     obs = {k: v for k, v in obs.items() if not k.startswith('log/')}
     with self._device_lock:
-      obs = self._device_batch(obs)
+      if self.policy_mesh is not None:
+        target = meshes.replicated(self.policy_mesh)
+        obs = {k: jax.device_put(v, target) for k, v in obs.items()}
+        carry = jax.tree.map(lambda x: jax.device_put(x, target), carry)
+      else:
+        obs = self._device_batch(obs)
       self._counters['policy'] += 1
       fn = self._policy.get(mode, self._policy['train'])
       carry, act, out = fn(
@@ -269,6 +304,8 @@ class Agent(corelib.Agent):
       # First call fetches synchronously; afterwards we always return the
       # previous step's results while this step's transfer is in flight.
       outs, mets = jax.device_get(pending or self._pending_train)
+      if self.policy_mesh is not None:
+        self._policy_dirty = True
     return carry, outs, mets
 
   @timer.section('agent_report')
@@ -293,14 +330,26 @@ class Agent(corelib.Agent):
       sharding = (
           self.data_sharding if batch and batch % self.nbatch == 0
           else self.replicated)
-      out[k] = jax.device_put(v, sharding)
+      if self.nprocs > 1 and sharding is self.data_sharding:
+        # Each host contributes its local rows of the global batch.
+        out[k] = jax.make_array_from_process_local_data(
+            sharding, np.asarray(v))
+      else:
+        out[k] = jax.device_put(v, sharding)
     return out
 
   # --- Checkpointing ------------------------------------------------------
 
   def save(self):
     with timer.section('agent_save'), self._device_lock:
-      host = jax.device_get(dict(self.store))
+      store = dict(self.store)
+      if self.nprocs > 1:
+        # Gather sharded entries so every host sees full arrays.
+        gather = jax.jit(
+            lambda xs: xs,
+            out_shardings={k: self.replicated for k in store})
+        store = gather(store)
+      host = jax.device_get(store)
       return {
           'store': {k: np.asarray(v) for k, v in host.items()},
           'counters': dict(self._counters),

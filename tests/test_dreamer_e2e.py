@@ -86,3 +86,33 @@ class TestDreamerEndToEnd:
     assert videos, sorted(mets.keys())
     grid = mets[videos[0]]
     assert grid.ndim == 4 and grid.dtype == np.uint8
+
+
+class TestPolicyTrainSplit:
+
+  def test_policy_mesh_split(self, tmp_path):
+    path = os.path.join(os.path.dirname(dv3_main.__file__), 'configs.yaml')
+    config = common.assemble_config(path, [
+        '--configs', 'debug',
+        '--task', 'dummy_disc',
+        '--logdir', str(tmp_path),
+        '--batch_size', '4',
+        '--batch_length', '8',
+        '--jax.platform', '',
+        '--jax.mesh', '2,1,1',
+        '--jax.policy_mesh', '1,1,1',
+    ])
+    agent = dv3_main.make_agent(config)
+    obs = agent._example_obs(3)
+    obs['is_first'][:] = True
+    carry = agent.init_policy(3)
+    carry, act, out = agent.policy(carry, obs)
+    assert 'action' in act
+    # Train updates mark the policy cache dirty; next policy call refreshes.
+    data = agent._example_batch(4, 8 + config.replay_context)
+    data['is_first'][:, 0] = True
+    tcarry = agent.init_train(4)
+    tcarry, outs, mets = agent.train(tcarry, data)
+    assert agent._policy_dirty
+    carry, act, out = agent.policy(carry, obs)
+    assert not agent._policy_dirty
