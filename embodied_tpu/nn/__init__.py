@@ -8,6 +8,7 @@ from .layers import (
 from .heads import DictHead, Head, MLPHead
 from .opt import Optimizer, get_data_axes
 from .train_utils import Normalize, SlowModel
+from .stacked import StackedLayers
 from . import core
 from . import dists
 from . import layers

@@ -101,6 +101,12 @@ class Optimizer(Module):
 
     params = self._scope_paths(ctx, self.scopes)
 
+    from . import core as nncore
+    scaling = nncore.COMPUTE_DTYPE == jnp.float16
+    if scaling:
+      grad_scale = p.state('grad_scale', (), 1e4, f32)
+      good_steps = p.state('good_steps', (), 0, i32)
+
     def lossfn2(params2):
       store = {**ctx.store, **ctx.updates, **params2}
       ictx = Ctx(store, create=False, key=ctx.key, scope=ctx.scope,
@@ -109,6 +115,8 @@ class Optimizer(Module):
       loss, aux = out if has_aux else (out, None)
       assert loss.dtype == f32, (self.name, loss.dtype)
       assert loss.shape == (), (self.name, loss.shape)
+      if scaling:
+        loss = loss * sg(grad_scale)
       return loss, (aux, ictx.updates)
 
     (loss, (aux, inner_updates)), grads = jax.value_and_grad(
@@ -118,14 +126,37 @@ class Optimizer(Module):
     if axes:
       grads = jax.tree.map(lambda x: jax.lax.pmean(x, axes), grads)
 
+    finite = jnp.array(True)
+    if scaling:
+      loss = loss / grad_scale
+      grads = jax.tree.map(lambda x: x / grad_scale, grads)
+      gnorm = sum(jnp.square(g).sum() for g in grads.values())
+      finite = jnp.isfinite(gnorm)
+      # Dynamic scale: halve on overflow, double after 1000 good steps.
+      keep = finite & (good_steps < 1000)
+      incr = finite & (good_steps >= 1000)
+      p.write('good_steps', jnp.where(finite, good_steps + 1, 0))
+      p.write('grad_scale', jnp.clip(
+          jnp.where(incr, grad_scale * 2,
+                    jnp.where(keep, grad_scale, grad_scale / 2)),
+          1e-4, 1e5))
+      grads = jax.tree.map(
+          lambda x: jnp.where(finite, x, jnp.zeros_like(x)), grads)
+
     step = p.state('step', (), 0, i32)
     lr = self._lr(step)
     if self.fused:
       new_params, stats = self._fused_update(p, params, grads, step, lr)
     else:
       new_params, stats = self._perparam_update(p, params, grads, step, lr)
+    if scaling:
+      # Skip the update entirely on overflow steps.
+      new_params = {
+          k: jnp.where(finite, v, params[k]) for k, v in new_params.items()}
+      metrics['grad_scale'] = grad_scale
+      metrics['grad_overflow'] = f32(~finite)
     gsq_total, usq_total, psq_total, count = stats
-    p.write('step', step + 1)
+    p.write('step', step + jnp.where(finite, 1, 0))
     # State updates recorded inside the loss (normalizers etc.) first, then
     # the parameter updates, which must win on any overlap.
     for path, value in inner_updates.items():
@@ -240,6 +271,10 @@ class Optimizer(Module):
 
   def _make_slots(self, p, params):
     p.state('step', (), 0, i32)
+    from . import core as nncore
+    if nncore.COMPUTE_DTYPE == jnp.float16:
+      p.state('grad_scale', (), 1e4, f32)
+      p.state('good_steps', (), 0, i32)
     if self.fused:
       total = int(sum(int(np.prod(v.shape)) for v in params.values()))
       p.state('rms_flat', (total,), 0.0, f32)

@@ -78,6 +78,12 @@ class Agent(corelib.Agent):
       self.policy_mesh = None
 
     self._counters = {'train': 0, 'policy': 0, 'report': 0}
+    # Built-in profiler window: traces train updates [start, stop) into
+    # logdir/profile (parity: reference jax/agent.py:296-311).
+    self._profiler = dict(
+        enabled=bool(getattr(jaxcfg, 'profiler', False)),
+        start=100, stop=120, active=False,
+        outdir=str(config.logdir) + '/profile')
     # Serializes device use across actor/learner threads: train donates the
     # store, so no policy call may hold the old buffers mid-donation
     # (mirrors the reference's policy/train locks, jax/agent.py:157-158).
@@ -295,8 +301,11 @@ class Agent(corelib.Agent):
       if not isinstance(next(iter(data.values())), jax.Array):
         data = self._device_batch(data)
       self._counters['train'] += 1
-      self.store, carry, outs, mets = self._train(
-          self.store, self._counters['train'], carry, data)
+      self._maybe_profile(self._counters['train'])
+      with jax.profiler.StepTraceAnnotation(
+          'train', step_num=self._counters['train']):
+        self.store, carry, outs, mets = self._train(
+            self.store, self._counters['train'], carry, data)
       # Start device->host DMA for this step's outputs without blocking.
       jax.tree.map(lambda x: x.copy_to_host_async(), (outs, mets))
       pending, self._pending_train = (
@@ -338,20 +347,45 @@ class Agent(corelib.Agent):
         out[k] = jax.device_put(v, sharding)
     return out
 
+  def _maybe_profile(self, update):
+    prof = self._profiler
+    if not prof['enabled']:
+      return
+    if update == prof['start'] and not prof['active']:
+      print(f'Writing profiler trace to {prof["outdir"]}')
+      jax.profiler.start_trace(prof['outdir'])
+      prof['active'] = True
+    elif update >= prof['stop'] and prof['active']:
+      jax.profiler.stop_trace()
+      prof['active'] = False
+
   # --- Checkpointing ------------------------------------------------------
 
-  def save(self):
+  def save(self, chunk_bytes=1 << 30):
+    """Gather the store to host memory in bounded groups so large models
+    never need 2x HBM+RAM at once (parity: reference grouped ckpt fns,
+    jax/internal.py:239-286)."""
     with timer.section('agent_save'), self._device_lock:
-      store = dict(self.store)
-      if self.nprocs > 1:
-        # Gather sharded entries so every host sees full arrays.
-        gather = jax.jit(
-            lambda xs: xs,
-            out_shardings={k: self.replicated for k in store})
-        store = gather(store)
-      host = jax.device_get(store)
+      result = {}
+      group, group_bytes = [], 0
+      keys = sorted(self.store.keys())
+      for key in keys + [None]:
+        size = self.store[key].nbytes if key is not None else 0
+        if group and (key is None or group_bytes + size > chunk_bytes):
+          arrays = {k: self.store[k] for k in group}
+          if self.nprocs > 1:
+            gather = jax.jit(
+                lambda xs: xs,
+                out_shardings={k: self.replicated for k in arrays})
+            arrays = gather(arrays)
+          host = jax.device_get(arrays)
+          result.update({k: np.asarray(v) for k, v in host.items()})
+          group, group_bytes = [], 0
+        if key is not None:
+          group.append(key)
+          group_bytes += size
       return {
-          'store': {k: np.asarray(v) for k, v in host.items()},
+          'store': result,
           'counters': dict(self._counters),
       }
 

@@ -220,3 +220,56 @@ class TestHeads:
     _, act = nn.pure(fn)(store, key, x, key)
     assert act['move'].shape == (4,)
     assert act['look'].shape == (4, 3)
+
+
+class TestStackedLayers:
+
+  def test_stack_runs_and_differs_per_layer(self):
+    class Block(nn.Module):
+      def __init__(self, name):
+        super().__init__(name)
+        self.lin = nn.Linear(8, 'lin')
+        self.norm = nn.Norm('rms', 'norm')
+      def __call__(self, ctx, x):
+        p = self.sub(ctx)
+        return x + self.norm(p, self.lin(p, x))
+
+    stack = nn.StackedLayers(Block('block'), 4, 'stack')
+    fn = lambda ctx, x: stack(ctx, x)
+    x = jnp.ones((2, 8))
+    store, meta = nn.init(fn)(jax.random.PRNGKey(0), x)
+    kernels = store['stack/block/lin/kernel']
+    assert kernels.shape == (4, 8, 8)
+    # Per-layer weights differ (independent init keys).
+    assert not np.allclose(kernels[0], kernels[1])
+    _, y = nn.pure(fn, meta)(store, jax.random.PRNGKey(0), x)
+    assert y.shape == (2, 8)
+    assert np.isfinite(nn.f32(y)).all()
+
+  def test_stack_gradients_flow(self):
+    class Block(nn.Module):
+      def __init__(self, name):
+        super().__init__(name)
+        self.lin = nn.Linear(8, 'lin')
+      def __call__(self, ctx, x):
+        p = self.sub(ctx)
+        return x + jnp.tanh(nn.f32(self.lin(p, x))).astype(x.dtype)
+
+    stack = nn.StackedLayers(Block('block'), 3, 'stack')
+    opt = nn.Optimizer(['stack'], lr=0.05, warmup=0)
+
+    def trainfn(ctx, x, y):
+      lossfn = lambda c, x, y: jnp.square(
+          nn.f32(stack(c, x)) - y).mean()
+      return opt(ctx, lossfn, x, y)
+
+    x = jnp.ones((4, 8))
+    y = jnp.zeros((4, 8))
+    store, meta = nn.init(trainfn)(jax.random.PRNGKey(0), x, y)
+    step = jax.jit(nn.pure(trainfn, meta))
+    losses = []
+    for i in range(40):
+      updates, mets = step(store, jax.random.PRNGKey(i), x, y)
+      store = {**store, **updates}
+      losses.append(float(mets['opt/loss']))
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
