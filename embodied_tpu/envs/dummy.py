@@ -12,13 +12,17 @@ from ..utils import Space
 class Dummy:
 
   def __init__(self, task='disc', length=100, size=(64, 64), seed=0):
-    assert task in ('disc', 'cont'), task
+    assert task in ('disc', 'cont', 'bandit'), task
     self._task = task
     self._length = length
     self._size = tuple(size)
     self._random = np.random.default_rng(seed)
     self._step = 0
     self._done = True
+    # 'bandit': reward 1 when the agent picks the target action, which is
+    # visible in the observation. Trivially learnable; used by learning
+    # tests to prove the end-to-end gradient path.
+    self._target = 3
 
   @property
   def obs_space(self):
@@ -35,7 +39,7 @@ class Dummy:
 
   @property
   def act_space(self):
-    if self._task == 'disc':
+    if self._task in ('disc', 'bandit'):
       action = Space(np.int32, (), 0, 5)
     else:
       action = Space(np.float32, (6,), -1, 1)
@@ -48,7 +52,10 @@ class Dummy:
       return self._obs(0.0, is_first=True)
     self._step += 1
     self._done = self._step >= self._length
-    reward = float(self._step % 2)
+    if self._task == 'bandit':
+      reward = float(int(action['action']) == self._target)
+    else:
+      reward = float(self._step % 2)
     return self._obs(reward, is_last=self._done, is_terminal=self._done)
 
   def _obs(self, reward, is_first=False, is_last=False, is_terminal=False):

@@ -94,17 +94,19 @@ def _recv(sock):
 
 
 def _recv_exact(sock, amount):
-  parts = []
-  while amount:
+  # recv_into a preallocated buffer: no per-chunk allocations or joins.
+  buf = bytearray(amount)
+  view = memoryview(buf)
+  pos = 0
+  while pos < amount:
     try:
-      chunk = sock.recv(min(amount, 1 << 22))
+      n = sock.recv_into(view[pos:], min(amount - pos, 1 << 22))
     except OSError as e:
       raise Disconnected(str(e))
-    if not chunk:
+    if not n:
       raise Disconnected('connection closed')
-    parts.append(chunk)
-    amount -= len(chunk)
-  return b''.join(parts)
+    pos += n
+  return buf
 
 
 def _parse_addr(addr):
