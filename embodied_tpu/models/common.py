@@ -28,6 +28,7 @@ ENV_CTORS = {
     'dmc': 'embodied_tpu.envs.dmc:DMC',
     'atari': 'embodied_tpu.envs.atari:Atari',
     'atari100k': 'embodied_tpu.envs.atari:Atari',
+    'dmlab': 'embodied_tpu.envs.dmlab:DMLab',
     'minecraft': 'embodied_tpu.envs.minecraft:Minecraft',
     'loconav': 'embodied_tpu.envs.loconav:LocoNav',
     'pinpad': 'embodied_tpu.envs.pinpad:PinPad',
