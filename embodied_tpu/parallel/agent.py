@@ -77,6 +77,13 @@ class Agent(corelib.Agent):
     else:
       self.policy_mesh = None
 
+    # Explicit-collective mode: the train step runs under shard_map with
+    # per-device RNG and explicit gradient/metric pmean over the data axes
+    # (parity: reference jax/transform.py:84-111 use_shardmap). GSPMD jit
+    # remains the default paved path on TPU.
+    self.use_shardmap = bool(getattr(jaxcfg, 'shardmap', False)) and (
+        self.mesh.devices.size > 1)
+
     self._counters = {'train': 0, 'policy': 0, 'report': 0}
     # Built-in profiler window: traces train updates [start, stop) into
     # logdir/profile (parity: reference jax/agent.py:296-311).
@@ -148,6 +155,10 @@ class Agent(corelib.Agent):
     missing = set(shapes) - set(recipe_cell)
     assert not missing, f'Entries without init recipes: {sorted(missing)[:5]}'
     rules = getattr(self.model, 'partition_rules', [])
+    if self.use_shardmap:
+      # shard_map mode runs the model on per-device batch shards with the
+      # full parameters, so the store must be replicated (no FSDP/TP).
+      rules = []
     self.shardings = meshes.resolve_rules(shapes, rules, self.mesh)
 
     # Materialize the store from the recorded recipes only: this avoids
@@ -201,12 +212,66 @@ class Agent(corelib.Agent):
     base = self._base_key()
     meta = self.meta
 
-    def trainfn(store, seedctr, carry, data):
-      key = jax.random.fold_in(base, seedctr)
+    def train_core(store, key, carry, data):
       ctx = Ctx(dict(store), create=False, key=key, meta=meta)
       carry, outs, mets = model.train(ctx, carry, data)
       new_store = {**store, **ctx.updates}
       return new_store, carry, outs, mets
+
+    def trainfn(store, seedctr, carry, data):
+      key = jax.random.fold_in(base, seedctr)
+      return train_core(store, key, carry, data)
+
+    def smtrainfn(store, seedctr, carry, data):
+      """Train step under shard_map: data split over ('d','f'), params
+      replicated, per-device RNG, explicit pmean of grads (in the
+      optimizer via DATA_AXES) and of scalar metrics."""
+      from jax.sharding import PartitionSpec as P
+      from ..nn import opt as optlib
+      mesh = self.mesh
+      axes = ('d', 'f')
+      nshard = mesh.shape['d'] * mesh.shape['f']
+      dspec = P(axes)
+
+      def leafspec(x):
+        batched = getattr(x, 'ndim', 0) >= 1 and x.shape[0] % nshard == 0
+        return dspec if batched else P()
+
+      def inner(store, seedctr, carry, data):
+        idx = jax.lax.axis_index('d') * mesh.shape['f'] + (
+            jax.lax.axis_index('f'))
+        key = jax.random.fold_in(jax.random.fold_in(base, seedctr), idx)
+        new_store, carry, outs, mets = train_core(store, key, carry, data)
+        # Scalar metrics are per-shard means; average them so every device
+        # returns the same (replicated) value.
+        mets = jax.tree.map(
+            lambda x: jax.lax.pmean(x.astype(jnp.float32), axes)
+            if x.ndim == 0 else x, mets)
+        return new_store, carry, outs, mets
+
+      # Output structure (traced without collectives) drives the out specs.
+      # The store is replicated on BOTH sides — leafspec must never touch
+      # it, or a parameter whose first dim happens to divide the shard
+      # count would get concatenated into garbage.
+      optlib.DATA_AXES[0] = ()
+      shapes = jax.eval_shape(trainfn, store, seedctr, carry, data)
+      _, carry_shapes, outs_shapes, mets_shapes = shapes
+      store_specs = {k: P() for k in store}
+      out_specs = (
+          store_specs,
+          jax.tree.map(leafspec, carry_shapes),
+          jax.tree.map(leafspec, outs_shapes),
+          jax.tree.map(leafspec, mets_shapes))
+      in_specs = (
+          store_specs, P(),
+          jax.tree.map(leafspec, carry), jax.tree.map(leafspec, data))
+      optlib.DATA_AXES[0] = axes
+      try:
+        return jax.shard_map(
+            inner, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False)(store, seedctr, carry, data)
+      finally:
+        optlib.DATA_AXES[0] = ()
 
     def policyfn(mode):
       def fn(pstore, seedctr, carry, obs):
@@ -229,7 +294,8 @@ class Agent(corelib.Agent):
       return fn
 
     self._train_raw = trainfn
-    self._train = jax.jit(trainfn, donate_argnums=(0, 2))
+    self._train = jax.jit(
+        smtrainfn if self.use_shardmap else trainfn, donate_argnums=(0, 2))
     self._policy = {
         mode: jax.jit(policyfn(mode), donate_argnums=(2,))
         for mode in ('train', 'eval')}
