@@ -274,7 +274,7 @@ class Model:
         ctx, feat, hier, ctx.rng(), self.acfg.env_skill_duration)
     out = {}
     if self.config.replay_context:
-      out.update(tree.flatdict(dict(dyn=nn.f32(
+      out.update(tree.flatdict(dict(dyn=self.dyn.entry_pack(
           {'deter': feat['deter'], 'stoch': feat['stoch']}))))
     carry = (dyn_carry, hier, act)
     return carry, act, out
@@ -313,7 +313,7 @@ class Model:
       metrics.update(mets)
     outs = {}
     if self.config.replay_context:
-      updates = tree.flatdict(dict(dyn=nn.f32(dyn_entries)))
+      updates = tree.flatdict(dict(dyn=self.dyn.entry_pack(dyn_entries)))
       updates['stepid'] = stepid
       outs['replay'] = updates
     carry = (dyn_carry, hier, {k: data[k][:, -1] for k in self.act_space})

@@ -92,16 +92,12 @@ class Model:
     spaces['consec'] = Space(np.int32)
     spaces['stepid'] = Space(np.uint8, 20)
     if self.config.replay_context:
-      entries = tree.flatdict(dict(
+      # entry_space is already the packed storage format (the latents
+      # travel host<->device every step; see rssm.RSSM.entry_space).
+      spaces.update(tree.flatdict(dict(
           enc=self.enc.entry_space,
           dyn=self.dyn.entry_space,
-          dec=self.dec.entry_space))
-      # Latents travel host<->device every step; float16 halves the bytes
-      # without affecting training (they are cast to compute dtype on use).
-      entries = {
-          k: Space(np.float16, v.shape) if v.dtype == np.float32 else v
-          for k, v in entries.items()}
-      spaces.update(entries)
+          dec=self.dec.entry_space)))
     return spaces
 
   # --- Carries ------------------------------------------------------------
@@ -145,9 +141,10 @@ class Model:
     out.update({f'log/finite/{k}': v for k, v in finite.items()})
     carry = (enc_carry, dyn_carry, dec_carry, act)
     if self.config.replay_context:
-      entries = tree.flatdict(dict(
-          enc=enc_entry, dyn=dyn_entry, dec=dec_entry))
-      out.update({k: v.astype(jnp.float16) for k, v in entries.items()})
+      out.update(tree.flatdict(dict(
+          enc=self.enc.entry_pack(enc_entry),
+          dyn=self.dyn.entry_pack(dyn_entry),
+          dec=self.dec.entry_pack(dec_entry))))
     return carry, act, out
 
   def _feat2tensor(self, feat):
@@ -168,13 +165,14 @@ class Model:
     outs = {}
     if self.config.replay_context:
       updates = tree.flatdict(dict(
-          stepid=stepid, enc=entries[0], dyn=entries[1], dec=entries[2]))
+          stepid=stepid,
+          enc=self.enc.entry_pack(entries[0]),
+          dyn=self.dyn.entry_pack(entries[1]),
+          dec=self.dec.entry_pack(entries[2])))
       B, T = obs['is_first'].shape
       assert all(x.shape[:2] == (B, T) for x in updates.values()), (
           (B, T), {k: v.shape for k, v in updates.items()})
-      outs['replay'] = jax.tree.map(
-          lambda x: x.astype(jnp.float16), updates)
-      outs['replay']['stepid'] = stepid
+      outs['replay'] = updates
     carry = (*carry, {k: data[k][:, -1] for k in self.act_space})
     return carry, outs, metrics
 

@@ -40,9 +40,12 @@ class RSSM(nn.Module):
       self, act_space, name='dyn', deter=4096, hidden=2048, stoch=32,
       classes=32, norm='rms', act='gelu', unroll=False, unimix=0.01,
       outscale=1.0, imglayers=2, obslayers=1, dynlayers=1, absolute=False,
-      blocks=8, free_nats=1.0, **kw):
+      blocks=8, free_nats=1.0, latents='i8', **kw):
     super().__init__(name)
     assert deter % blocks == 0, (deter, blocks)
+    assert latents in ('i8', 'f16', 'f32'), latents
+    assert classes <= 256, (classes, 'uint8 stoch indices')
+    self.latents = latents
     self.act_space = act_space
     self.deter = deter
     self.hidden = hidden
@@ -80,9 +83,36 @@ class RSSM(nn.Module):
 
   @property
   def entry_space(self):
+    """Storage format of the replay latents. These cross the host<->device
+    boundary every step and live in replay RAM, so they are packed: the
+    categorical stoch sample as its uint8 class indices (lossless) and
+    deter quantized to int8 with a fixed 1/127 scale — the GRU's convex
+    update keeps |deter| < 1 by construction, and the model refreshes
+    stored latents every time it trains on them."""
+    dtype = dict(i8=np.int8, f16=np.float16, f32=np.float32)[self.latents]
     return dict(
-        deter=Space(np.float32, self.deter),
-        stoch=Space(np.float32, (self.stoch, self.classes)))
+        deter=Space(dtype, self.deter),
+        stoch=Space(np.uint8, (self.stoch,)))
+
+  def entry_pack(self, entries):
+    """Device-side packing of fresh float entries into the storage format."""
+    deter, stoch = entries['deter'], entries['stoch']
+    if self.latents == 'i8':
+      deter = jnp.clip(
+          jnp.round(deter.astype(f32) * 127), -127, 127).astype(jnp.int8)
+    else:
+      deter = deter.astype(self.entry_space['deter'].dtype)
+    stoch = jnp.argmax(stoch, -1).astype(jnp.uint8)
+    return dict(deter=deter, stoch=stoch)
+
+  def entry_unpack(self, entries):
+    deter, stoch = entries['deter'], entries['stoch']
+    if self.latents == 'i8':
+      deter = deter.astype(f32) / 127
+    else:
+      deter = deter.astype(f32)
+    stoch = jax.nn.one_hot(stoch, self.classes, dtype=f32)
+    return nn.cast(dict(deter=deter, stoch=stoch))
 
   def initial(self, bsize):
     return nn.cast(dict(
@@ -90,9 +120,10 @@ class RSSM(nn.Module):
         stoch=jnp.zeros([bsize, self.stoch, self.classes], f32)))
 
   def truncate(self, entries, carry=None):
-    # Resume a carry from the last stored latent of a context window.
+    # Resume a carry from the last stored (packed) latent of a context
+    # window.
     assert entries['deter'].ndim == 3, entries['deter'].shape
-    return nn.cast(jax.tree.map(lambda x: x[:, -1], entries))
+    return jax.tree.map(lambda x: x[:, -1], self.entry_unpack(entries))
 
   def starts(self, entries, carry, nlast):
     B = len(jax.tree.leaves(carry)[0])
@@ -288,6 +319,12 @@ class Encoder(nn.Module):
   def truncate(self, entries, carry=None):
     return {}
 
+  def entry_pack(self, entries):
+    return {}
+
+  def entry_unpack(self, entries):
+    return {}
+
   def __call__(self, ctx, carry, obs, reset, training, single=False):
     p = self.sub(ctx)
     bdims = 1 if single else 2
@@ -393,6 +430,12 @@ class Decoder(nn.Module):
     return {}
 
   def truncate(self, entries, carry=None):
+    return {}
+
+  def entry_pack(self, entries):
+    return {}
+
+  def entry_unpack(self, entries):
     return {}
 
   def __call__(self, ctx, carry, feat, reset, training, single=False):

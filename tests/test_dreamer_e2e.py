@@ -116,3 +116,33 @@ class TestPolicyTrainSplit:
     assert agent._policy_dirty
     carry, act, out = agent.policy(carry, obs)
     assert not agent._policy_dirty
+
+
+class TestLatentPacking:
+
+  def test_entry_pack_roundtrip(self, tmp_path):
+    # Packed latents (int8 deter, uint8 stoch indices) must survive the
+    # storage roundtrip with quantization error below bf16 resolution.
+    import jax
+    import jax.numpy as jnp
+    config = make_config(tmp_path)
+    agent = dv3_main.make_agent(config)
+    dyn = agent.model.dyn
+    space = dyn.entry_space
+    assert space['deter'].dtype == np.int8
+    assert space['stoch'].dtype == np.uint8
+    rng = np.random.default_rng(0)
+    B, T = 4, 6
+    deter = jnp.asarray(np.tanh(
+        rng.normal(size=(B, T, dyn.deter))).astype(np.float32))
+    idx = rng.integers(0, dyn.classes, (B, T, dyn.stoch))
+    stoch = jnp.asarray(
+        np.eye(dyn.classes, dtype=np.float32)[idx])
+    packed = dyn.entry_pack(dict(deter=deter, stoch=stoch))
+    assert packed['deter'].dtype == jnp.int8
+    assert packed['stoch'].dtype == jnp.uint8
+    un = dyn.entry_unpack(packed)
+    err = np.abs(np.asarray(un['deter'], np.float32) - np.asarray(deter))
+    assert err.max() <= 1 / 127 + 1e-6, err.max()
+    assert np.array_equal(
+        np.argmax(np.asarray(un['stoch']), -1), idx)
