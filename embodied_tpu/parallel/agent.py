@@ -84,6 +84,12 @@ class Agent(corelib.Agent):
     self.use_shardmap = bool(getattr(jaxcfg, 'shardmap', False)) and (
         self.mesh.devices.size > 1)
 
+    # Depth of the async train-output fetch pipeline (see train()).
+    self._fetch_depth = max(1, int(getattr(jaxcfg, 'fetch_depth', 3)))
+    import collections
+    self._pending_train = collections.deque()
+    self._fetched_train = None
+
     self._counters = {'train': 0, 'policy': 0, 'report': 0}
     # Built-in profiler window: traces train updates [start, stop) into
     # logdir/profile (parity: reference jax/agent.py:296-311).
@@ -360,9 +366,14 @@ class Agent(corelib.Agent):
 
   @timer.section('agent_train')
   def train(self, carry, data):
-    """One train step. Outputs and metrics are fetched with a one-step
-    delay so the host transfer overlaps device compute (parity:
-    /root/reference/embodied/jax/agent.py:286-294 pending_outs)."""
+    """One train step. Outputs and metrics are fetched through a depth-k
+    pipeline (jax.fetch_depth) so several device->host DMAs stay in flight
+    while the device computes ahead — on hosts with slow transfer links
+    the fetch would otherwise serialize with compute. Results come back
+    k steps late; replay updates are keyed by stepid, so delay is safe.
+    During warmup the oldest result is returned repeatedly (replay updates
+    are idempotent overwrites). Parity: the reference's one-step
+    pending_outs, /root/reference/embodied/jax/agent.py:286-294."""
     with self._device_lock:
       if not isinstance(next(iter(data.values())), jax.Array):
         data = self._device_batch(data)
@@ -374,11 +385,14 @@ class Agent(corelib.Agent):
             self.store, self._counters['train'], carry, data)
       # Start device->host DMA for this step's outputs without blocking.
       jax.tree.map(lambda x: x.copy_to_host_async(), (outs, mets))
-      pending, self._pending_train = (
-          getattr(self, '_pending_train', None), (outs, mets))
-      # First call fetches synchronously; afterwards we always return the
-      # previous step's results while this step's transfer is in flight.
-      outs, mets = jax.device_get(pending or self._pending_train)
+      queue = self._pending_train
+      queue.append((outs, mets))
+      if len(queue) > self._fetch_depth:
+        self._fetched_train = outs, mets = jax.device_get(queue.popleft())
+      else:
+        if self._fetched_train is None:
+          self._fetched_train = jax.device_get(queue[0])
+        outs, mets = self._fetched_train
       if self.policy_mesh is not None:
         self._policy_dirty = True
     return carry, outs, mets
