@@ -75,10 +75,18 @@ class RSSM(nn.Module):
         (nn.Linear(hidden, f'dynin{i}', **kw),
          nn.Norm(norm, f'dynin{i}norm'))
         for i in range(3)]
+    # The first hidden layer sees [deter_block, shared_features] per block.
+    # Instead of materializing g copies of the shared features (a large
+    # broadcast inside the scan body), it runs as a block-diagonal matmul
+    # on deter plus ONE dense matmul on the shared features, summed —
+    # the identical function with MXU-friendly shapes.
+    self.dynhid_blk = nn.BlockLinear(deter, g, 'dynhid0blk', **kw)
+    self.dynhid_in = nn.Linear(deter, 'dynhid0in', bias=False, **kw)
+    self.dynhid_norm = nn.Norm(norm, 'dynhid0norm')
     self.dynhid = [
         (nn.BlockLinear(deter, g, f'dynhid{i}', **kw),
          nn.Norm(norm, f'dynhid{i}norm'))
-        for i in range(dynlayers)]
+        for i in range(1, dynlayers)]
     self.dyngru = nn.BlockLinear(3 * deter, g, 'dyngru', **kw)
 
   @property
@@ -247,8 +255,9 @@ class RSSM(nn.Module):
     for (linear, norm), value in zip(self.dynin[:2], (deter, stoch)):
       parts.append(self.actfn(norm(p, linear(p, value))))
     parts.append(actfeat)
-    x = jnp.concatenate(parts, -1)[..., None, :].repeat(g, -2)
-    x = group2flat(jnp.concatenate([flat2group(deter, g), x], -1))
+    x = jnp.concatenate(parts, -1)
+    x = self.dynhid_blk(p, deter) + self.dynhid_in(p, x)
+    x = self.actfn(self.dynhid_norm(p, x))
     for blocklinear, norm in self.dynhid:
       x = self.actfn(norm(p, blocklinear(p, x)))
     x = self.dyngru(p, x)
