@@ -9,11 +9,14 @@ workfn(batched) -> (results, extra) with postfn(extra); free_port();
 Disconnected exception.
 
 Wire format per frame:
-  8-byte total length | 4-byte meta length | pickle-5 meta | raw buffers.
-Large array payloads ride OUT-OF-BAND: pickle-5's buffer_callback captures
-them without copying, the frame is sent with sendmsg scatter/gather, and
-the receiver reconstructs the arrays directly over the received bytes —
-no pickling memcpy of array data on either side.
+  8-byte total length | 1-byte format | format-specific payload.
+Format 1 (native): 4-byte meta length | codec meta | pad to 64 | buffer
+region — encoded/decoded by the C++ dataplane codec
+(embodied_tpu/native/dataplane.cpp), one C call per message, arrays
+scatter-gather sent and reconstructed as aliasing views (zero copy).
+Format 0 (pickle): 4-byte meta length | pickle-5 meta | buffer-size table
+| raw out-of-band buffers — the pure-Python fallback when no compiler is
+available. The format byte makes mixed endpoints interoperate.
 """
 
 import pickle
@@ -25,8 +28,14 @@ import time
 
 import numpy as np
 
+try:
+  from ..native import codec as _codec
+except Exception:  # pragma: no cover - native build is best-effort
+  _codec = None
+
 _HEADER = struct.Struct('>Q')
 _META = struct.Struct('>I')
+_ALIGN = 64
 
 
 class Disconnected(Exception):
@@ -40,18 +49,29 @@ def free_port():
 
 
 def _send(sock, lock, payload):
-  buffers = []
-  meta = pickle.dumps(payload, protocol=5, buffer_callback=buffers.append)
-  views = []
-  for buf in buffers:
-    view = buf.raw()
-    views.append(view if view.c_contiguous else bytes(view))
-  sizes = struct.pack(
-      f'>I{len(views)}Q', len(views),
-      *[memoryview(v).nbytes for v in views])
-  total = _META.size + len(meta) + len(sizes) + sum(
-      memoryview(v).nbytes for v in views)
-  parts = [_HEADER.pack(total) + _META.pack(len(meta)), meta, sizes, *views]
+  if _codec is not None:
+    meta, buffers, region = _codec.encode(payload)
+    pre = 1 + _META.size + len(meta)
+    pad = (-pre) % _ALIGN
+    total = pre + pad + region
+    parts = [
+        _HEADER.pack(total) + b'\x01' + _META.pack(len(meta)),
+        meta, b'\x00' * pad, *buffers]
+  else:
+    buffers = []
+    meta = pickle.dumps(payload, protocol=5, buffer_callback=buffers.append)
+    views = []
+    for buf in buffers:
+      view = buf.raw()
+      views.append(view if view.c_contiguous else bytes(view))
+    sizes = struct.pack(
+        f'>I{len(views)}Q', len(views),
+        *[memoryview(v).nbytes for v in views])
+    total = 1 + _META.size + len(meta) + len(sizes) + sum(
+        memoryview(v).nbytes for v in views)
+    parts = [
+        _HEADER.pack(total) + b'\x00' + _META.pack(len(meta)),
+        meta, sizes, *views]
   with lock:
     try:
       _sendall_parts(sock, parts)
@@ -60,17 +80,17 @@ def _send(sock, lock, payload):
 
 
 def _sendall_parts(sock, parts):
-  # Scatter/gather send; falls back to sequential sendall on partial sends.
-  remaining = [memoryview(p).cast('B') if not isinstance(p, bytes) else p
+  # Scatter/gather send in IOV_MAX-safe groups; falls back to sequential
+  # sendall on partial sends.
+  remaining = [p if isinstance(p, bytes) else memoryview(p).cast('B')
                for p in parts]
-  total = sum(len(p) if isinstance(p, bytes) else p.nbytes
-              for p in remaining)
-  sent = sock.sendmsg(remaining)
-  if sent == total:
-    return
-  # Slow path: flatten what remains and sendall.
-  flat = b''.join(bytes(p) for p in remaining)
-  sock.sendall(flat[sent:])
+  for lo in range(0, len(remaining), 512):
+    group = remaining[lo:lo + 512]
+    total = sum(len(p) if isinstance(p, bytes) else p.nbytes for p in group)
+    sent = sock.sendmsg(group)
+    if sent != total:
+      flat = b''.join(bytes(p) for p in group)
+      sock.sendall(flat[sent:])
 
 
 def _recv(sock):
@@ -78,8 +98,14 @@ def _recv(sock):
   (total,) = _HEADER.unpack(header)
   frame = _recv_exact(sock, total)
   view = memoryview(frame)
-  (meta_len,) = _META.unpack(view[:_META.size])
-  offset = _META.size
+  fmt = view[0]
+  (meta_len,) = _META.unpack(view[1:1 + _META.size])
+  offset = 1 + _META.size
+  if fmt == 1:
+    assert _codec is not None, 'peer sent native frame but codec missing'
+    region_off = offset + meta_len
+    region_off += (-region_off) % _ALIGN
+    return _codec.decode(frame, offset, meta_len, region_off)
   meta = view[offset:offset + meta_len]
   offset += meta_len
   (nbufs,) = struct.unpack_from('>I', view, offset)
