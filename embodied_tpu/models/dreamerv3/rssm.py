@@ -40,12 +40,14 @@ class RSSM(nn.Module):
       self, act_space, name='dyn', deter=4096, hidden=2048, stoch=32,
       classes=32, norm='rms', act='gelu', unroll=False, unimix=0.01,
       outscale=1.0, imglayers=2, obslayers=1, dynlayers=1, absolute=False,
-      blocks=8, free_nats=1.0, latents='i8', **kw):
+      blocks=8, free_nats=1.0, latents='i8', kernel='auto', **kw):
     super().__init__(name)
     assert deter % blocks == 0, (deter, blocks)
     assert latents in ('i8', 'f16', 'f32'), latents
     assert classes <= 256, (classes, 'uint8 stoch indices')
+    assert kernel in ('auto', 'off'), kernel
     self.latents = latents
+    self.kernel = kernel
     self.act_space = act_space
     self.deter = deter
     self.hidden = hidden
@@ -56,6 +58,9 @@ class RSSM(nn.Module):
     self.absolute = absolute
     self.blocks = blocks
     self.free_nats = free_nats
+    self.norm = norm
+    self.act = act
+    self.dynlayers = dynlayers
     self.actfn = nn.act(act)
     self.kw = kw
 
@@ -144,9 +149,12 @@ class RSSM(nn.Module):
               single=False):
     p = self.sub(ctx)
     carry, tokens, action = nn.cast((carry, tokens, action))
+    # The fused Pallas core pays a recompute-VJP under BPTT, so it only
+    # runs on non-training paths (acting, report) and imagination.
+    body = lambda pp, c, i: self._observe(pp, c, i, kernel=not training)
     if single:
       actfeat = self._action_feat(p, nn.mask(action, ~reset), ~reset)
-      carry, (entry, feat) = self._observe(
+      carry, (entry, feat) = body(
           p, carry, (tokens, actfeat, reset, ctx.rng()))
       return carry, entry, feat
     T = reset.shape[1]
@@ -159,7 +167,7 @@ class RSSM(nn.Module):
     # time axis lines up with axis=1 of the data.
     keys = jax.random.split(ctx.rng(), T).T
     carry, (entries, feat) = nn.scan(
-        p, self._observe, carry, (tokens, actfeat, reset, keys), axis=1,
+        p, body, carry, (tokens, actfeat, reset, keys), axis=1,
         unroll=self.unroll or 1)
     return carry, entries, feat
 
@@ -172,11 +180,11 @@ class RSSM(nn.Module):
     linear, norm = self.dynin[2]
     return self.actfn(norm(p, linear(p, action)))
 
-  def _observe(self, p, carry, inputs):
+  def _observe(self, p, carry, inputs, kernel=False):
     tokens, actfeat, reset, key = inputs
     deter, stoch, actfeat = nn.mask(
         (carry['deter'], carry['stoch'], actfeat), ~reset)
-    deter = self._core(p, deter, stoch, actfeat)
+    deter = self._core(p, deter, stoch, actfeat, kernel=kernel)
     tokens = tokens.reshape((*deter.shape[:-1], -1))
     x = tokens if self.absolute else jnp.concatenate([deter, tokens], -1)
     for linear, norm in self.obs_layers:
@@ -198,7 +206,8 @@ class RSSM(nn.Module):
     else:
       action = policy_or_action
     actfeat = self._action_feat(p, nn.cast(action))
-    deter = self._core(p, carry['deter'], carry['stoch'], actfeat)
+    deter = self._core(p, carry['deter'], carry['stoch'], actfeat,
+                       kernel=True)
     logit = self._prior(p, deter)
     stoch = nn.cast(self._dist(logit).sample(key))
     carry = nn.cast(dict(deter=deter, stoch=stoch))
@@ -246,11 +255,54 @@ class RSSM(nn.Module):
 
   # --- Internals ----------------------------------------------------------
 
-  def _core(self, p, deter, stoch, actfeat):
+  def _kernel_eligible(self, p):
+    """Whether the fused Pallas core step applies: TPU, default layer
+    stack, rms/silu math, and weights that fit the VMEM budget."""
+    if self.kernel != 'auto' or p.create:
+      return False
+    if self.dynlayers != 1 or self.norm != 'rms' or self.act != 'silu':
+      return False
+    from ...ops import blockgru
+    if not blockgru.on_tpu():
+      return False
+    D, H, g = self.deter, self.hidden, self.blocks
+    S = self.stoch * self.classes
+    weight_bytes = 2 * (D * H + S * H + D * (D // g) + 3 * H * D +
+                        3 * D * (D // g))
+    return weight_bytes <= 12 * 1024 * 1024
+
+  def _core_params(self, p):
+    """Fetch the core weights (cast to compute dtype, norm scales f32) in
+    the ops.blockgru.FIELDS order."""
+    D, H, g = self.deter, self.hidden, self.blocks
+    S = self.stoch * self.classes
+    dg = D // g
+    par = lambda mod, name, shape: p(mod).param(name, shape, 0.0)
+    return (
+        nn.cast(par('dynin0', 'kernel', (D, H))),
+        nn.cast(par('dynin0', 'bias', (H,))),
+        par('dynin0norm', 'scale', (H,)),
+        nn.cast(par('dynin1', 'kernel', (S, H))),
+        nn.cast(par('dynin1', 'bias', (H,))),
+        par('dynin1norm', 'scale', (H,)),
+        nn.cast(par('dynhid0blk', 'kernel', (g, dg, dg))),
+        nn.cast(par('dynhid0blk', 'bias', (D,))),
+        nn.cast(par('dynhid0in', 'kernel', (3 * H, D))),
+        par('dynhid0norm', 'scale', (D,)),
+        nn.cast(par('dyngru', 'kernel', (g, dg, 3 * dg))),
+        nn.cast(par('dyngru', 'bias', (3 * D,))),
+    )
+
+  def _core(self, p, deter, stoch, actfeat, kernel=False):
     """Block-diagonal GRU core: one fused (g, d, u) batched matmul chain.
     `actfeat` is the precomputed action embedding from _action_feat."""
     g = self.blocks
     stoch = stoch.reshape((stoch.shape[0], -1))
+    if kernel and self._kernel_eligible(p):
+      from ...ops import blockgru
+      return blockgru.core_step(
+          nn.cast(deter), nn.cast(stoch), nn.cast(actfeat),
+          self._core_params(p), True)
     parts = []
     for (linear, norm), value in zip(self.dynin[:2], (deter, stoch)):
       parts.append(self.actfn(norm(p, linear(p, value))))
