@@ -287,6 +287,23 @@ class Model:
         ctx, carry, obs, prevact, training=False)
     metrics.update(mets)
 
+    # Per-loss gradient norms (parity: reference dreamerv3/agent.py:263-271).
+    if self.acfg.report_gradnorms:
+      from ...nn.core import Ctx
+      params = {k: v for k, v in ctx.store.items()
+                if ctx.meta.get(k) == 'param'}
+      for key in self.scales:
+        def lossfn(params2, key=key):
+          ictx = Ctx({**ctx.store, **params2}, create=False, key=ctx.key,
+                     meta=ctx.meta)
+          _, (_, _, louts, _) = self.loss(
+              ictx, carry, obs, prevact, training=False)
+          return nn.f32(louts['losses'][key]).mean()
+        grads = jax.grad(lossfn)(params)
+        norm = jnp.sqrt(sum(
+            jnp.square(nn.f32(g)).sum() for g in grads.values()))
+        metrics[f'gradnorm/{key}'] = norm
+
     # Open-loop predictions: observe the first half, imagine the second.
     firsthalf = lambda xs: jax.tree.map(lambda x: x[:RB, :T // 2], xs)
     secondhalf = lambda xs: jax.tree.map(lambda x: x[:RB, T // 2:], xs)

@@ -431,13 +431,23 @@ class Agent(corelib.Agent):
     prof = self._profiler
     if not prof['enabled']:
       return
+    # Remote logdirs cannot receive the trace directly: write to /tmp and
+    # copy at stop (parity: reference jax/agent.py:296-311).
+    outdir, copyto = prof['outdir'], None
+    if str(outdir).startswith(('gs://', '/gcs/', '/cns/')):
+      copyto, outdir = outdir, '/tmp/profiler'
     if update == prof['start'] and not prof['active']:
-      print(f'Writing profiler trace to {prof["outdir"]}')
-      jax.profiler.start_trace(prof['outdir'])
+      print(f'Writing profiler trace to {outdir}')
+      jax.profiler.start_trace(outdir)
       prof['active'] = True
     elif update >= prof['stop'] and prof['active']:
       jax.profiler.stop_trace()
       prof['active'] = False
+      if copyto:
+        from ..utils import Path
+        for subdir in Path(outdir).glob('*'):
+          subdir.copy(Path(copyto) / subdir.name)
+        print(f'Copied profiler trace {outdir} to {copyto}')
 
   # --- Checkpointing ------------------------------------------------------
 

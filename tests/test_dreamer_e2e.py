@@ -146,3 +146,20 @@ class TestLatentPacking:
     assert err.max() <= 1 / 127 + 1e-6, err.max()
     assert np.array_equal(
         np.argmax(np.asarray(un['stoch']), -1), idx)
+
+
+class TestReportGradnorms:
+
+  def test_gradnorm_metrics(self, tmp_path):
+    config = make_config(tmp_path)
+    config = config.update({'agent.report_gradnorms': True})
+    agent = dv3_main.make_agent(config)
+    B = config.batch_size
+    L = config.batch_length + config.replay_context
+    data = agent._example_batch(B, L)
+    data['is_first'][:, 0] = True
+    carry = agent.init_report(B)
+    carry, mets = agent.report(carry, data)
+    norms = {k: v for k, v in mets.items() if k.startswith('gradnorm/')}
+    assert 'gradnorm/dyn' in norms and 'gradnorm/policy' in norms
+    assert all(np.isfinite(v) for v in norms.values()), norms
