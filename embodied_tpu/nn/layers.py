@@ -219,12 +219,24 @@ def rope(x, positions, maxlen=10000):
 
 
 class Attention(Module):
-  """Multi-head attention with grouped queries, RoPE, and qk-norm."""
+  """Multi-head attention with grouped queries, RoPE, and qk-norm.
+
+  impl='ring' computes sequence-parallel ring attention: the layer must
+  then run inside shard_map with the time dimension sharded over mesh
+  axis `ring_axis`; kv shards rotate over ICI neighbors with a
+  flash-style online softmax (ops/ring_attention.py). Only causal or
+  full masks are supported in ring mode.
+  """
 
   def __init__(self, units, heads, name, kvheads=0, qknorm=True,
                pos='rope', bias=False, winit='trunc_normal_in',
-               outscale=1.0, dropout=0.0):
+               outscale=1.0, dropout=0.0, impl='dense', ring_axis='t',
+               causal=False):
     super().__init__(name)
+    assert impl in ('dense', 'ring'), impl
+    self.impl = impl
+    self.ring_axis = ring_axis
+    self.causal = causal
     assert units % heads == 0
     self.units = units
     self.heads = heads
@@ -252,13 +264,25 @@ class Attention(Module):
       k = self.kn(p, k)
     if self.pos == 'rope':
       if positions is None:
-        positions = jnp.arange(T)[None, :].repeat(B, 0)
+        if self.impl == 'ring':
+          # T here is the LOCAL shard; offset by the ring position so
+          # rotary phases are global.
+          offset = jax.lax.axis_index(self.ring_axis) * T
+          positions = (offset + jnp.arange(T))[None, :].repeat(B, 0)
+        else:
+          positions = jnp.arange(T)[None, :].repeat(B, 0)
       q = rope(q.swapaxes(1, 2), positions[:, None]).swapaxes(1, 2)
       k = rope(k.swapaxes(1, 2), positions[:, None]).swapaxes(1, 2)
     repeat = self.heads // self.kvheads
     if repeat > 1:
       k = jnp.repeat(k, repeat, 2)
       v = jnp.repeat(v, repeat, 2)
+    if self.impl == 'ring':
+      assert mask is None, 'ring attention supports causal/full masks only'
+      from ..ops import ring_attention as ra
+      y = ra.ring_attention(q, k, v, self.ring_axis, causal=self.causal)
+      y = y.reshape((B, T, self.units))
+      return self.out(p, y)
     logits = jnp.einsum('bthd,bshd->bhts', q, k) / math.sqrt(D)
     logits = f32(logits)
     if mask is not None:
