@@ -4,6 +4,12 @@ Capability parity: /root/reference/embodied/core/driver.py — lockstep batch
 stepping of N envs (optionally one subprocess per env), 'log/' key split,
 action masking at episode boundaries, per-env transition callbacks, and a
 child env-server loop with error propagation.
+
+Beyond the reference: `parallel='thread'` steps envs from a thread pool
+instead of one process per env — on few-core hosts, and for env libraries
+that release the GIL (ALE, MuJoCo, procgen), this avoids the process
+context-switch tax of lockstep stepping while keeping callbacks
+in-process and zero-copy.
 """
 
 import multiprocessing as mp
@@ -17,10 +23,12 @@ class Driver:
 
   def __init__(self, make_env_fns, parallel=True, **kwargs):
     assert len(make_env_fns) >= 1
-    self.parallel = parallel
+    assert parallel in (True, False, 'process', 'thread'), parallel
+    self.parallel = 'process' if parallel is True else parallel
     self.kwargs = kwargs
     self.length = len(make_env_fns)
-    if parallel:
+    self.pool = None
+    if self.parallel == 'process':
       import cloudpickle
       context = mp.get_context('spawn')
       self.pipes, child_pipes = zip(
@@ -36,6 +44,11 @@ class Driver:
     else:
       self.envs = [fn() for fn in make_env_fns]
       self.act_space = self.envs[0].act_space
+      if self.parallel == 'thread':
+        from concurrent.futures import ThreadPoolExecutor
+        self.pool = ThreadPoolExecutor(
+            max_workers=min(self.length, 4 * (mp.cpu_count() or 1)),
+            thread_name_prefix='driver-env')
     self.callbacks = []
     self.acts = None
     self.carry = None
@@ -49,11 +62,13 @@ class Driver:
     self.carry = init_policy and init_policy(self.length)
 
   def close(self):
-    if self.parallel:
+    if self.parallel == 'process':
       for proc in self.procs:
         proc.terminate()
         proc.join(timeout=5)
     else:
+      if self.pool is not None:
+        self.pool.shutdown(wait=False)
       [env.close() for env in self.envs]
 
   def on_step(self, callback):
@@ -68,9 +83,12 @@ class Driver:
     acts = self.acts
     assert all(len(x) == self.length for x in acts.values())
     per_env = [{k: v[i] for k, v in acts.items()} for i in range(self.length)]
-    if self.parallel:
+    if self.parallel == 'process':
       [pipe.send(('step', act)) for pipe, act in zip(self.pipes, per_env)]
       obs = [self._receive(pipe) for pipe in self.pipes]
+    elif self.parallel == 'thread':
+      obs = list(self.pool.map(
+          lambda ea: ea[0].step(ea[1]), zip(self.envs, per_env)))
     else:
       obs = [env.step(act) for env, act in zip(self.envs, per_env)]
     obs = {k: np.stack([x[k] for x in obs]) for k in obs[0].keys()}

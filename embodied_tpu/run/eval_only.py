@@ -52,7 +52,7 @@ def eval_only(make_agent, make_env, make_logger, args):
       epstats.add(result)
 
   fns = [bind(make_env, i) for i in range(args.envs)]
-  driver = core.Driver(fns, parallel=(not args.debug))
+  driver = core.Driver(fns, parallel=(False if args.debug else getattr(args, 'driver', 'process')))
   driver.on_step(lambda tran, _: step.increment())
   driver.on_step(lambda tran, _: policy_fps.step())
   driver.on_step(logfn)

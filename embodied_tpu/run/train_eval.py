@@ -67,14 +67,14 @@ def train_eval(
       epstats.add(result)
 
   fns = [bind(make_env_train, i) for i in range(args.envs)]
-  driver_train = core.Driver(fns, parallel=(not args.debug))
+  driver_train = core.Driver(fns, parallel=(False if args.debug else getattr(args, 'driver', 'process')))
   driver_train.on_step(lambda tran, _: step.increment())
   driver_train.on_step(lambda tran, _: policy_fps.step())
   driver_train.on_step(replay_train.add)
   driver_train.on_step(bind(logfn, mode='train'))
 
   fns = [bind(make_env_eval, i) for i in range(args.eval_envs)]
-  driver_eval = core.Driver(fns, parallel=(not args.debug))
+  driver_eval = core.Driver(fns, parallel=(False if args.debug else getattr(args, 'driver', 'process')))
   driver_eval.on_step(replay_eval.add)
   driver_eval.on_step(bind(logfn, mode='eval'))
   driver_eval.on_step(lambda tran, _: policy_fps.step())

@@ -29,4 +29,5 @@ def bench(envs, parallel, steps=2000):
 if __name__ == '__main__':
   for envs in (4, 16):
     bench(envs, parallel=False)
-    bench(envs, parallel=True)
+    bench(envs, parallel='thread')
+    bench(envs, parallel='process')

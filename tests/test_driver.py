@@ -97,3 +97,24 @@ class TestPinPad:
       obs = env.step({'action': 0, 'reset': False})
       reward += float(obs['reward'])
     assert reward == 10.0, reward
+
+
+class TestThreadDriver:
+
+  def test_thread_mode_matches(self):
+    from embodied_tpu.core import Driver, RandomAgent
+    from embodied_tpu.envs import Dummy
+    fns = [lambda: Dummy('disc', size=(8, 8), length=10)] * 3
+    driver = Driver(fns, parallel='thread')
+    env = Dummy('disc', size=(8, 8), length=10)
+    agent = RandomAgent(env.obs_space, env.act_space)
+    steps = [0]
+    episodes = [0]
+    driver.reset(agent.init_policy)
+    driver.on_step(lambda trn, i: (
+        steps.__setitem__(0, steps[0] + 1),
+        episodes.__setitem__(0, episodes[0] + int(trn['is_last']))))
+    driver(agent.policy, steps=60)
+    driver.close()
+    assert steps[0] == 60
+    assert episodes[0] >= 3  # 3 envs x length 10 over 20 steps each.
