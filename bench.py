@@ -23,7 +23,7 @@ def main():
   parser = argparse.ArgumentParser()
   parser.add_argument('--quick', action='store_true')
   parser.add_argument('--size', default='size12m')
-  parser.add_argument('--steps', type=int, default=30)
+  parser.add_argument('--steps', type=int, default=60)
   parser.add_argument('--batch', type=int, default=16)
   parser.add_argument('--length', type=int, default=64)
   args = parser.parse_args()
