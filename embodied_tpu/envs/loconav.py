@@ -6,6 +6,7 @@ Gated on dm_control (locomotion soccer/mazes submodules).
 """
 
 import functools
+import os
 
 import numpy as np
 
@@ -24,6 +25,7 @@ class LocoNav:
 
   def __init__(self, task, size=(64, 64), repeat=1, camera=-1, again=False,
                seed=None):
+    os.environ.setdefault('MUJOCO_GL', 'egl')  # Headless rendering.
     try:
       from dm_control import composer
       from dm_control.locomotion.arenas import labmaze_textures, mazes
@@ -32,8 +34,13 @@ class LocoNav:
       from dm_control.locomotion.walkers import ant
     except ImportError:
       raise ImportError('The LocoNav env requires dm_control[locomotion]')
-    walker_name, maze_name = task.rsplit('_', 1)
+    # Tasks look like 'ant_maze_m': walker, arena style, maze size.
+    parts = task.split('_')
+    walker_name, maze_name = parts[0], parts[-1]
     assert walker_name in ('ant', 'quadruped'), walker_name
+    if walker_name == 'quadruped':
+      raise NotImplementedError(
+          'The custom quadruped walker is not ported yet; use ant_*')
     maze = MAZES.get(maze_name, MAZES['m'])
     walker = ant.Ant()
     skybox = labmaze_textures.SkyBox(style='sky_03')
