@@ -38,11 +38,12 @@ class LocoNav:
     parts = task.split('_')
     walker_name, maze_name = parts[0], parts[-1]
     assert walker_name in ('ant', 'quadruped'), walker_name
-    if walker_name == 'quadruped':
-      raise NotImplementedError(
-          'The custom quadruped walker is not ported yet; use ant_*')
     maze = MAZES.get(maze_name, MAZES['m'])
-    walker = ant.Ant()
+    if walker_name == 'quadruped':
+      from . import loconav_quadruped
+      walker = loconav_quadruped.make_walker_class()()
+    else:
+      walker = ant.Ant()
     skybox = labmaze_textures.SkyBox(style='sky_03')
     wall = labmaze_textures.WallTextures(style='style_01')
     floor = labmaze_textures.FloorTextures(style='style_01')
@@ -62,7 +63,9 @@ class LocoNav:
     self._env = from_dm.FromDM(env)
     self._size = tuple(size)
     self._repeat = repeat
-    self._camera = camera if camera >= 0 else 2
+    # Default to the last fixed camera (the walker's egocentric one).
+    ncam = env.physics.model.ncam
+    self._camera = camera if camera >= 0 else ncam - 1
 
   @functools.cached_property
   def obs_space(self):

@@ -71,3 +71,10 @@ class TestLocoNavReal:
     env = LocoNav('ant_maze_m', size=(48, 48))
     seen = rollout(env, steps=3)
     assert seen[-1]['image'].shape == (48, 48, 3)
+
+  def test_quadruped_maze(self):
+    from embodied_tpu.envs.loconav import LocoNav
+    env = LocoNav('quadruped_maze_s', size=(48, 48))
+    assert env.act_space['action'].shape == (12,)  # 4 legs x 3 joints.
+    seen = rollout(env, steps=3)
+    assert seen[-1]['image'].std() > 0
