@@ -384,14 +384,14 @@ class Agent(corelib.Agent):
         self.store, carry, outs, mets = self._train(
             self.store, self._counters['train'], carry, data)
       # Start device->host DMA for this step's outputs without blocking.
-      jax.tree.map(lambda x: x.copy_to_host_async(), (outs, mets))
+      self._start_fetch((outs, mets))
       queue = self._pending_train
       queue.append((outs, mets))
       if len(queue) > self._fetch_depth:
-        self._fetched_train = outs, mets = jax.device_get(queue.popleft())
+        self._fetched_train = outs, mets = self._fetch_local(queue.popleft())
       else:
         if self._fetched_train is None:
-          self._fetched_train = jax.device_get(queue[0])
+          self._fetched_train = self._fetch_local(queue[0])
         outs, mets = self._fetched_train
       if self.policy_mesh is not None:
         self._policy_dirty = True
@@ -405,19 +405,52 @@ class Agent(corelib.Agent):
       self._counters['report'] += 1
       carry, mets = self._report(
           dict(self.store), self._counters['report'], carry, data)
-      return carry, jax.device_get(mets)
+      return carry, self._fetch_local(mets)
 
   def stream(self, source):
     return streamlib.Prefetch(source, transform=self._device_batch, amount=2)
+
+  def _start_fetch(self, tree):
+    """Begin async device->host DMA for every addressable shard."""
+    def start(x):
+      if isinstance(x, jax.Array):
+        if x.is_fully_addressable:
+          x.copy_to_host_async()
+        else:
+          for shard in x.addressable_shards:
+            shard.data.copy_to_host_async()
+      return x
+    jax.tree.map(start, tree)
+
+  def _fetch_local(self, tree):
+    """device_get that works on multi-host arrays: values spanning
+    non-addressable devices come back as this host's rows (batch-sharded)
+    or the replicated copy (parity: reference to_local,
+    /root/reference/embodied/jax/internal.py:160-213)."""
+    def get(x):
+      if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(jax.device_get(x))
+      pieces = {}
+      for shard in x.addressable_shards:
+        first = shard.index[0] if shard.index else slice(None)
+        key = (first.start or 0, first.stop)
+        pieces[key] = shard.data
+      if len(pieces) == 1:
+        return np.asarray(next(iter(pieces.values())))
+      return np.concatenate(
+          [np.asarray(pieces[k]) for k in sorted(pieces)], 0)
+    return jax.tree.map(get, tree)
 
   def _device_batch(self, data):
     out = {}
     for k, v in data.items():
       batch = np.asarray(v).shape[0] if np.ndim(v) else 0
+      # Hosts feed their LOCAL rows; the global batch is batch * nprocs.
       # Batches that do not divide the data axes (e.g. small env counts in
       # the policy path) are replicated instead of sharded.
+      gbatch = batch * self.nprocs
       sharding = (
-          self.data_sharding if batch and batch % self.nbatch == 0
+          self.data_sharding if batch and gbatch % self.nbatch == 0
           else self.replicated)
       if self.nprocs > 1 and sharding is self.data_sharding:
         # Each host contributes its local rows of the global batch.
@@ -468,7 +501,7 @@ class Agent(corelib.Agent):
                 lambda xs: xs,
                 out_shardings={k: self.replicated for k in arrays})
             arrays = gather(arrays)
-          host = jax.device_get(arrays)
+          host = self._fetch_local(arrays)
           result.update({k: np.asarray(v) for k, v in host.items()})
           group, group_bytes = [], 0
         if key is not None:
