@@ -477,9 +477,18 @@ class Agent(corelib.Agent):
       jax.profiler.stop_trace()
       prof['active'] = False
       if copyto:
+        import os as _os
         from ..utils import Path
-        for subdir in Path(outdir).glob('*'):
-          subdir.copy(Path(copyto) / subdir.name)
+        dst = Path(copyto)
+        for dirpath, _, files in _os.walk(outdir):
+          for fname in files:
+            full = _os.path.join(dirpath, fname)
+            rel = _os.path.relpath(full, outdir)
+            target = dst
+            for part in rel.split(_os.sep):
+              target = target / part
+            target.parent.mkdir()
+            target.write_bytes(Path(full).read_bytes())
         print(f'Copied profiler trace {outdir} to {copyto}')
 
   # --- Checkpointing ------------------------------------------------------
