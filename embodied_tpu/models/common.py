@@ -141,6 +141,7 @@ def agent_config(config):
       batch_size=config.batch_size,
       batch_length=config.batch_length,
       replay_context=config.replay_context,
+      replay_size=float(config.replay.size) if 'replay' in config else 1e6,
       report_length=config.report_length,
       replica=config.replica,
       replicas=config.replicas,

@@ -87,6 +87,17 @@ class Model:
     ]
 
   @property
+  def latent_keys(self):
+    """Replay keys eligible for the device-resident latent table (the
+    packed replay-context latents; see parallel/latents.py)."""
+    if not self.config.replay_context:
+      return ()
+    return tuple(tree.flatdict(dict(
+        enc=self.enc.entry_space,
+        dyn=self.dyn.entry_space,
+        dec=self.dec.entry_space)))
+
+  @property
   def ext_space(self):
     spaces = {}
     spaces['consec'] = Space(np.int32)

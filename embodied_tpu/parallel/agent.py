@@ -35,7 +35,8 @@ import numpy as np
 from .. import core as corelib
 from ..core import streams as streamlib
 from ..nn.core import Ctx
-from ..utils import timer
+from ..utils import Space, timer
+from . import latents as latentslib
 from . import meshes
 
 
@@ -84,6 +85,34 @@ class Agent(corelib.Agent):
     self.use_shardmap = bool(getattr(jaxcfg, 'shardmap', False)) and (
         self.mesh.devices.size > 1)
 
+    # Device-resident replay-latent table: replay-context latents stay in
+    # HBM, keyed by 4-byte slot ids that travel through replay instead of
+    # the KB-scale latent payload (see parallel/latents.py). Requires the
+    # single-mesh GSPMD path (the policy scatters into the learner's
+    # table). jax.latent_slots: 0 = off (host path, reference behavior),
+    # -1 = auto (cover the replay capacity within jax.latent_budget_gb),
+    # >0 = explicit slot count.
+    self._latents = None
+    self._latent_keys = tuple(getattr(model, 'latent_keys', ()) or ())
+    slots_cfg = int(float(getattr(jaxcfg, 'latent_slots', 0)))
+    if (self._latent_keys and slots_cfg != 0 and self.policy_mesh is None
+        and not self.use_shardmap):
+      spaces = {k: model.ext_space[k] for k in self._latent_keys}
+      if slots_cfg > 0:
+        capacity = slots_cfg
+      else:
+        budget = float(getattr(jaxcfg, 'latent_budget_gb', 4.0)) * (1 << 30)
+        replay_size = int(float(getattr(config, 'replay_size', 1e6)))
+        per = latentslib.LatentTable.bytes_per_slot(spaces)
+        capacity = min(replay_size, int(budget // per))
+      capacity = max(
+          capacity,
+          4 * self.batch_size * (self.batch_length + self.replay_context))
+      self._latents = latentslib.LatentTable(
+          spaces, capacity, self.mesh, self.nprocs, jax.process_index())
+      print(f'Latent table: {self._latents.capacity:,} device-resident '
+            f'slots ({self._latents.nbytes / (1 << 20):.0f} MB HBM)')
+
     # Depth of the async train-output fetch pipeline (see train()).
     self._fetch_depth = max(1, int(getattr(jaxcfg, 'fetch_depth', 3)))
     import collections
@@ -110,16 +139,31 @@ class Agent(corelib.Agent):
 
   @property
   def ext_space(self):
-    return self.model.ext_space
+    """Replay keys as seen by the host: with the latent table enabled the
+    latent columns are replaced by their 4-byte slot id + generation."""
+    ext = dict(self.model.ext_space)
+    if self._latents is not None:
+      for key in self._latent_keys:
+        ext.pop(key, None)
+      ext['slot'] = Space(np.int32)
+      ext['slotgen'] = Space(np.uint32)
+    return ext
 
-  def _example_batch(self, batch_size, length):
-    spaces = {**self.obs_space, **self.act_space, **self.model.ext_space}
+  def _example_batch(self, batch_size, length, spaces=None):
+    if spaces is None:
+      spaces = self.ext_space
+    spaces = {**self.obs_space, **self.act_space, **spaces}
     data = {}
     for key, space in spaces.items():
       if key.startswith('log/'):
         continue
       shape = (batch_size, length, *space.shape)
-      data[key] = np.zeros(shape, space.dtype)
+      if key == 'slot' and self._latents is not None:
+        idx = np.arange(batch_size * length, dtype=np.int64)
+        data[key] = (idx % self._latents.capacity).astype(
+            np.int32).reshape(shape)
+      else:
+        data[key] = np.zeros(shape, space.dtype)
     return data
 
   def _example_obs(self, batch_size):
@@ -138,7 +182,10 @@ class Agent(corelib.Agent):
   def _init_store(self):
     import zlib
     length = self.batch_length + self.replay_context
-    data = self._example_batch(self.batch_size, length)
+    # Init traces the raw model, which always consumes the model-native
+    # data format (latent columns, not table slots).
+    data = self._example_batch(
+        self.batch_size, length, spaces=self.model.ext_space)
     meta_cell = {}
     recipe_cell = {}
 
@@ -299,6 +346,61 @@ class Agent(corelib.Agent):
         return getattr(model, f'init_{mode}')(ctx, batch_size)
       return fn
 
+    # --- Latent-table variants: latents gathered/scattered in-graph ----
+    latent_keys = self._latent_keys
+    K = self.replay_context
+    Table = latentslib.LatentTable
+
+    def inject_latents(tables, data):
+      """Pop slot/gen, gather latents from the table into the data dict,
+      and reset the window start where the context latent is invalid
+      (evicted, overwritten, or written before a restart)."""
+      data = dict(data)
+      slots = data.pop('slot')
+      gens = data.pop('slotgen')
+      data.update(Table.gather(tables, latent_keys, slots))
+      valid = Table.valid(tables, slots, gens)
+      if K:
+        firstchunk = data['consec'][:, 0] == 0
+        bad = firstchunk & ~valid[:, K - 1]
+        isf = data['is_first']
+        data['is_first'] = isf.at[:, K].set(isf[:, K] | bad)
+      return data, slots, gens, valid
+
+    def trainfn_table(store, tables, seedctr, carry, data):
+      key = jax.random.fold_in(base, seedctr)
+      data, slots, gens, valid = inject_latents(tables, data)
+      new_store, carry, outs, mets = train_core(store, key, carry, data)
+      outs = dict(outs)
+      upd = outs.pop('replay', None)
+      if upd is not None:
+        upd = dict(upd)
+        upd.pop('stepid', None)
+        tables = Table.scatter(
+            tables, latent_keys, slots[:, K:], gens[:, K:], upd)
+      mets = dict(mets)
+      mets['latents/valid'] = valid.astype(jnp.float32).mean()
+      return new_store, tables, carry, outs, mets
+
+    def reportfn_table(store, tables, seedctr, carry, data):
+      key = jax.random.fold_in(base, seedctr)
+      data, _, _, _ = inject_latents(tables, data)
+      ctx = Ctx(dict(store), create=False, key=key, meta=meta)
+      carry, mets = model.report(ctx, carry, data)
+      return carry, mets
+
+    def policyfn_table(mode):
+      def fn(pstore, tables, seedctr, carry, obs, slots, gens):
+        key = jax.random.fold_in(
+            jax.random.fold_in(base, seedctr), 1_000_003)
+        ctx = Ctx(dict(pstore), create=False, key=key, meta=meta)
+        carry, act, out = model.policy(ctx, carry, obs, mode=mode)
+        out = dict(out)
+        values = {k: out.pop(k) for k in latent_keys}
+        tables = Table.scatter(tables, latent_keys, slots, gens, values)
+        return tables, carry, act, out
+      return fn
+
     self._train_raw = trainfn
     self._train = jax.jit(
         smtrainfn if self.use_shardmap else trainfn, donate_argnums=(0, 2))
@@ -306,6 +408,12 @@ class Agent(corelib.Agent):
         mode: jax.jit(policyfn(mode), donate_argnums=(2,))
         for mode in ('train', 'eval')}
     self._report = jax.jit(reportfn)
+    if self._latents is not None:
+      self._train_table = jax.jit(trainfn_table, donate_argnums=(0, 1, 3))
+      self._report_table = jax.jit(reportfn_table)
+      self._policy_table = {
+          mode: jax.jit(policyfn_table(mode), donate_argnums=(1, 3))
+          for mode in ('train', 'eval')}
     self._init_fns = {
         mode: jax.jit(init_mode(mode), static_argnums=(1,))
         for mode in ('policy', 'train', 'report')}
@@ -321,7 +429,15 @@ class Agent(corelib.Agent):
     carry = jax.eval_shape(
         lambda: self._init_fns['train'](store_shapes, self.batch_size))
     with timer.section('precompile_train'):
-      lowered = self._train.lower(store_shapes, 0, carry, data_shapes)
+      if self._latents is not None:
+        table_shapes = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=x.sharding),
+            dict(self._latents.tables))
+        lowered = self._train_table.lower(
+            store_shapes, table_shapes, 0, carry, data_shapes)
+      else:
+        lowered = self._train.lower(store_shapes, 0, carry, data_shapes)
       compiled = lowered.compile()
       try:
         cost = compiled.cost_analysis()
@@ -356,10 +472,25 @@ class Agent(corelib.Agent):
       else:
         obs = self._device_batch(obs)
       self._counters['policy'] += 1
-      fn = self._policy.get(mode, self._policy['train'])
-      carry, act, out = fn(
-          self.policy_store(), self._counters['policy'], carry, obs)
-      act, out = jax.device_get((act, out))
+      if self._latents is not None:
+        # Allocate slots host-side; the jitted step scatters the packed
+        # latents into the HBM table, so only the 4-byte ids come back.
+        B = len(next(iter(obs.values())))
+        slots, gens = self._latents.alloc(B)
+        extra = self._device_batch({'slot': slots, 'slotgen': gens})
+        fn = self._policy_table.get(mode, self._policy_table['train'])
+        tables, carry, act, out = fn(
+            self.policy_store(), self._latents.tables,
+            self._counters['policy'], carry, obs,
+            extra['slot'], extra['slotgen'])
+        self._latents.tables = tables
+        act, out = jax.device_get((act, out))
+        out['slot'], out['slotgen'] = slots, gens
+      else:
+        fn = self._policy.get(mode, self._policy['train'])
+        carry, act, out = fn(
+            self.policy_store(), self._counters['policy'], carry, obs)
+        act, out = jax.device_get((act, out))
     act = {k: np.asarray(v) for k, v in act.items()}
     out = {k: np.asarray(v) for k, v in out.items()}
     return carry, act, out
@@ -379,10 +510,17 @@ class Agent(corelib.Agent):
         data = self._device_batch(data)
       self._counters['train'] += 1
       self._maybe_profile(self._counters['train'])
+      use_table = self._latents is not None and 'slot' in data
       with jax.profiler.StepTraceAnnotation(
           'train', step_num=self._counters['train']):
-        self.store, carry, outs, mets = self._train(
-            self.store, self._counters['train'], carry, data)
+        if use_table:
+          (self.store, self._latents.tables, carry, outs,
+           mets) = self._train_table(
+              self.store, self._latents.tables, self._counters['train'],
+              carry, data)
+        else:
+          self.store, carry, outs, mets = self._train(
+              self.store, self._counters['train'], carry, data)
       # Start device->host DMA for this step's outputs without blocking.
       self._start_fetch((outs, mets))
       queue = self._pending_train
@@ -403,8 +541,13 @@ class Agent(corelib.Agent):
       if not isinstance(next(iter(data.values())), jax.Array):
         data = self._device_batch(data)
       self._counters['report'] += 1
-      carry, mets = self._report(
-          dict(self.store), self._counters['report'], carry, data)
+      if self._latents is not None and 'slot' in data:
+        carry, mets = self._report_table(
+            dict(self.store), self._latents.tables,
+            self._counters['report'], carry, data)
+      else:
+        carry, mets = self._report(
+            dict(self.store), self._counters['report'], carry, data)
       return carry, self._fetch_local(mets)
 
   def stream(self, source):
@@ -516,10 +659,15 @@ class Agent(corelib.Agent):
         if key is not None:
           group.append(key)
           group_bytes += size
-      return {
+      state = {
           'store': result,
           'counters': dict(self._counters),
       }
+      if self._latents is not None:
+        # Only the slot allocator persists; the table contents self-heal
+        # (invalid generations reset the carry until the first revisit).
+        state['latents'] = self._latents.save()
+      return state
 
   def load(self, data, regex=None):
     store = data['store']
@@ -538,3 +686,5 @@ class Agent(corelib.Agent):
         new[key] = jax.device_put(value, self.shardings[key])
     self.store = new
     self._counters.update(data.get('counters', {}))
+    if self._latents is not None and 'latents' in data:
+      self._latents.load(data['latents'])

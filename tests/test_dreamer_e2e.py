@@ -8,7 +8,7 @@ from embodied_tpu.models import common
 from embodied_tpu.models.dreamerv3 import main as dv3_main
 
 
-def make_config(tmp_path, steps=48, mesh='1,1,1', batch=4):
+def make_config(tmp_path, steps=48, mesh='1,1,1', batch=4, *extra):
   path = os.path.join(os.path.dirname(dv3_main.__file__), 'configs.yaml')
   return common.assemble_config(path, [
       '--configs', 'debug',
@@ -24,6 +24,7 @@ def make_config(tmp_path, steps=48, mesh='1,1,1', batch=4):
       '--run.save_every', '0.5',
       '--jax.platform', '',
       '--jax.mesh', mesh,
+      *extra,
   ])
 
 
@@ -41,9 +42,10 @@ class TestDreamerEndToEnd:
     common.run_script(config, dv3_main.make_agent)
 
   def test_replay_latent_roundtrip(self, tmp_path):
-    # The train outs must carry refreshed latents keyed by stepid, and the
-    # policy outs must provide the latent entries for replay storage.
-    config = make_config(tmp_path)
+    # Host-path latents (jax.latent_slots=0): the train outs must carry
+    # refreshed latents keyed by stepid, and the policy outs must provide
+    # the latent entries for replay storage.
+    config = make_config(tmp_path, 48, '1,1,1', 4, '--jax.latent_slots', '0')
     agent = dv3_main.make_agent(config)
     ext = agent.ext_space
     assert 'stepid' in ext and 'consec' in ext
@@ -63,7 +65,7 @@ class TestDreamerEndToEnd:
     assert np.isfinite(float(mets['opt/loss']))
 
   def test_policy_emits_latents(self, tmp_path):
-    config = make_config(tmp_path)
+    config = make_config(tmp_path, 48, '1,1,1', 4, '--jax.latent_slots', '0')
     agent = dv3_main.make_agent(config)
     obs = agent._example_obs(3)
     obs['is_first'][:] = True
