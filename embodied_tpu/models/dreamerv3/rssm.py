@@ -149,9 +149,10 @@ class RSSM(nn.Module):
               single=False):
     p = self.sub(ctx)
     carry, tokens, action = nn.cast((carry, tokens, action))
-    # The fused Pallas core pays a recompute-VJP under BPTT, so it only
-    # runs on non-training paths (acting, report) and imagination.
-    body = lambda pp, c, i: self._observe(pp, c, i, kernel=not training)
+    # The fused Pallas core has a fused analytic backward kernel
+    # (ops/blockgru.py fused_core_bwd), so it runs on the BPTT training
+    # path as well as acting/report/imagination.
+    body = lambda pp, c, i: self._observe(pp, c, i, kernel=True)
     if single:
       actfeat = self._action_feat(p, nn.mask(action, ~reset), ~reset)
       carry, (entry, feat) = body(
@@ -406,8 +407,12 @@ class Encoder(nn.Module):
       for i, (conv, norm) in enumerate(self.convs):
         x = conv(p, x)
         if not self.strided and not (self.outer and i == 0):
-          B, H, W, C = x.shape
-          x = x.reshape((B, H // 2, 2, W // 2, 2, C)).max((2, 4))
+          # 2x2 max pool via reduce_window: XLA lowers its backward to a
+          # native SelectAndScatter, ~100x cheaper on TPU than the
+          # broadcast+eq+reduce chain the reshape+max formulation emits.
+          x = jax.lax.reduce_window(
+              x, -float('inf'), jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+              'VALID')
         x = self.actfn(norm(p, x))
       assert 3 <= x.shape[-3] <= 16, x.shape
       x = x.reshape((x.shape[0], -1))

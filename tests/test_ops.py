@@ -63,6 +63,28 @@ class TestBlockGRU:
       np.testing.assert_allclose(
           np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
+  @pytest.mark.parametrize('B', [8, 24])
+  def test_fused_bwd_matches_autodiff(self, B):
+    # The analytic Pallas backward must produce the same input and weight
+    # gradients as differentiating the XLA reference (f32: tight match;
+    # the bf16 paths differ only by matmul rounding, covered on TPU).
+    params = make_params(jax.random.PRNGKey(0))
+    deter, stoch, act = make_inputs(B=B)
+    dout = jax.random.normal(jax.random.PRNGKey(4), deter.shape,
+                             deter.dtype)
+    _, vjp = jax.vjp(blockgru.reference_step, deter, stoch, act, params)
+    want = vjp(dout)
+    got = blockgru.fused_core_bwd(deter, stoch, act, params, dout,
+                                  interpret=True)
+    flat_want = list(want[:3]) + list(want[3])
+    flat_got = list(got[:3]) + list(got[3])
+    names = ['ddeter', 'dstoch', 'dact'] + ['d' + f for f in blockgru.FIELDS]
+    for name, a, b in zip(names, flat_want, flat_got):
+      assert a.shape == b.shape and a.dtype == b.dtype, name
+      np.testing.assert_allclose(
+          np.asarray(a, np.float32), np.asarray(b, np.float32),
+          rtol=1e-4, atol=1e-5, err_msg=name)
+
   def test_reference_matches_model_core(self):
     # The kernel's reference math must track rssm.RSSM._core exactly.
     from embodied_tpu.models.dreamerv3 import rssm
