@@ -10,13 +10,46 @@ instead of one process per env — on few-core hosts, and for env libraries
 that release the GIL (ALE, MuJoCo, procgen), this avoids the process
 context-switch tax of lockstep stepping while keeping callbacks
 in-process and zero-copy.
+
+Process mode uses a shared-memory transport: after the first transition
+reveals the observation layout, each env worker gets one SharedMemory
+block holding its obs and act columns. Steps then exchange only a tiny
+token over the pipe while the payload rides shared memory with zero
+pickling and zero copies on the parent side (the batch stack reads the
+views directly — lockstep stepping guarantees the child is idle then).
+Workers whose observation layout changes mid-run fall back to the pickled
+pipe payload for that step.
 """
 
 import multiprocessing as mp
+from multiprocessing import shared_memory
 
 import numpy as np
 
 from ..utils import tree
+
+_SHM_TOKEN = '__shm__'
+
+
+def _shm_layout(arrays):
+  """(offset, shape, dtype) per key plus total size, 64-byte aligned."""
+  layout, offset = {}, 0
+  for key in sorted(arrays.keys()):
+    value = np.asarray(arrays[key])
+    if value.dtype == object:
+      return None, 0
+    layout[key] = (offset, value.shape, value.dtype.str)
+    offset += int(-(-value.nbytes // 64) * 64) or 64
+  return layout, max(offset, 64)
+
+
+def _shm_views(block, layout):
+  views = {}
+  for key, (offset, shape, dtype) in layout.items():
+    size = int(np.prod(shape)) if shape else 1
+    views[key] = np.frombuffer(
+        block.buf, np.dtype(dtype), size, offset).reshape(shape)
+  return views
 
 
 class Driver:
@@ -41,6 +74,9 @@ class Driver:
       [proc.start() for proc in self.procs]
       self.pipes[0].send(('act_space',))
       self.act_space = self._receive(self.pipes[0])
+      # Shared-memory transport state, set up lazily per worker once the
+      # first transition reveals the observation layout.
+      self.shm = [None] * self.length
     else:
       self.envs = [fn() for fn in make_env_fns]
       self.act_space = self.envs[0].act_space
@@ -66,6 +102,14 @@ class Driver:
       for proc in self.procs:
         proc.terminate()
         proc.join(timeout=5)
+      for entry in getattr(self, 'shm', []):
+        if entry is not None:
+          entry['views'] = entry['act_views'] = None
+          try:
+            entry['block'].close()
+            entry['block'].unlink()
+          except Exception:
+            pass
     else:
       if self.pool is not None:
         self.pool.shutdown(wait=False)
@@ -84,8 +128,25 @@ class Driver:
     assert all(len(x) == self.length for x in acts.values())
     per_env = [{k: v[i] for k, v in acts.items()} for i in range(self.length)]
     if self.parallel == 'process':
-      [pipe.send(('step', act)) for pipe, act in zip(self.pipes, per_env)]
-      obs = [self._receive(pipe) for pipe in self.pipes]
+      for i, (pipe, act) in enumerate(zip(self.pipes, per_env)):
+        entry = self.shm[i]
+        if entry is None:
+          pipe.send(('step', act))
+        else:
+          for key, value in act.items():
+            entry['act_views'][key][...] = value
+          pipe.send(('step_shm',))
+      obs = []
+      for i, pipe in enumerate(self.pipes):
+        result = self._receive(pipe)
+        if result == _SHM_TOKEN:
+          # Lockstep stepping: the child is idle until the next send, so
+          # the views can be read (and stacked below) without copying.
+          obs.append(self.shm[i]['views'])
+        else:
+          obs.append(result)
+          if self.shm[i] is None:
+            self._attach_shm(i, result)
     elif self.parallel == 'thread':
       obs = list(self.pool.map(
           lambda ea: ea[0].step(ea[1]), zip(self.envs, per_env)))
@@ -111,6 +172,26 @@ class Driver:
     episode += int(obs['is_last'].sum())
     return step, episode
 
+  def _attach_shm(self, i, obs):
+    """Create the worker's shared block from its first observation."""
+    obs_layout, obs_size = _shm_layout(obs)
+    act_layout, act_size = _shm_layout(
+        {k: np.zeros(v.shape, v.dtype) for k, v in self.act_space.items()})
+    if obs_layout is None or act_layout is None:
+      return  # Non-numeric payloads stay on the pickled pipe path.
+    try:
+      block = shared_memory.SharedMemory(create=True, size=obs_size + act_size)
+    except Exception:
+      return
+    act_layout = {
+        k: (off + obs_size, shape, dtype)
+        for k, (off, shape, dtype) in act_layout.items()}
+    self.shm[i] = dict(
+        block=block,
+        views=_shm_views(block, obs_layout),
+        act_views=_shm_views(block, act_layout))
+    self.pipes[i].send(('attach_shm', block.name, obs_layout, act_layout))
+
   def _mask(self, value, mask):
     while mask.ndim < value.ndim:
       mask = mask[..., None]
@@ -131,6 +212,7 @@ class Driver:
 
 def _env_server(envid, pipe, payload):
   env = None
+  shm_block, obs_views, act_views = None, None, None
   try:
     import cloudpickle
     ctor = cloudpickle.loads(payload)
@@ -144,6 +226,30 @@ def _env_server(envid, pipe, payload):
         return
       if msg == 'step':
         pipe.send(('result', env.step(args[0])))
+      elif msg == 'step_shm':
+        act = {k: v.copy() for k, v in act_views.items()}
+        obs = env.step(act)
+        ok = set(obs.keys()) == set(obs_views.keys())
+        if ok:
+          for key, value in obs.items():
+            view = obs_views[key]
+            value = np.asarray(value)
+            if value.shape != view.shape or value.dtype != view.dtype:
+              ok = False
+              break
+            view[...] = value
+        if ok:
+          pipe.send(('result', _SHM_TOKEN))
+        else:
+          # Layout changed (new/missing keys or reshaped values): fall
+          # back to the pickled payload for this step.
+          pipe.send(('result', obs))
+      elif msg == 'attach_shm':
+        name, obs_layout, act_layout = args
+        shm_block = shared_memory.SharedMemory(name=name)
+        obs_views = _shm_views(shm_block, obs_layout)
+        act_views = _shm_views(shm_block, act_layout)
+        # No reply: the parent continues immediately.
       elif msg == 'obs_space':
         pipe.send(('result', env.obs_space))
       elif msg == 'act_space':
@@ -165,4 +271,10 @@ def _env_server(envid, pipe, payload):
       env and env.close()
     except Exception:
       pass
+    if shm_block is not None:
+      obs_views = act_views = None
+      try:
+        shm_block.close()
+      except Exception:
+        pass
     pipe.close()

@@ -52,7 +52,30 @@ class TestDriver:
     driver.reset(agent.init_policy)
     driver(agent.policy, steps=30)
     assert agent.stats()['env_steps'] >= 30
+    # After the first transition the payload rides shared memory.
+    assert all(entry is not None for entry in driver.shm)
     driver.close()
+
+  def test_parallel_processes_transition_integrity(self):
+    # The shared-memory transport must deliver the same transitions as
+    # in-process stepping: counting observations prove step alignment
+    # and that views are not clobbered between callbacks.
+    records = []
+    driver = Driver(
+        [lambda: Dummy('disc', length=7, size=(8, 8))], parallel=True)
+    driver.on_step(lambda tran, worker: records.append(
+        {k: np.copy(v) for k, v in tran.items()}))
+    env = Dummy('disc', length=7, size=(8, 8))
+    agent = RandomAgent(env.obs_space, env.act_space)
+    driver.reset(agent.init_policy)
+    driver(agent.policy, episodes=3)
+    driver.close()
+    count = 0
+    for tran in records:
+      if tran['is_first']:
+        count = 0
+      assert int(tran['count']) == count, (tran['count'], count)
+      count += 1
 
   def test_action_masking_at_episode_end(self):
     driver = Driver(
