@@ -371,9 +371,14 @@ class Transformer(Module):
   def __init__(self, layers, units, heads, name, ffmult=4, glu=True,
                act='silu', norm='rms', **kw):
     super().__init__(name)
+    # Attention-only options (incl. impl='ring' sequence parallelism) must
+    # not leak into the feedforward Linears.
+    akw = {k: kw.pop(k) for k in (
+        'impl', 'ring_axis', 'causal', 'kvheads', 'qknorm', 'pos',
+        'dropout') if k in kw}
     self.blocks = []
     for i in range(layers):
-      attn = Attention(units, heads, f'attn{i}', **kw)
+      attn = Attention(units, heads, f'attn{i}', **kw, **akw)
       n1 = Norm(norm, f'norm{i}a')
       n2 = Norm(norm, f'norm{i}b')
       ff1 = Linear(ffmult * units, f'ff{i}a', **kw)

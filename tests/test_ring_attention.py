@@ -103,3 +103,38 @@ class TestRingAttentionLayer:
     np.testing.assert_allclose(
         np.asarray(want, np.float32), np.asarray(got, np.float32),
         rtol=5e-2, atol=2e-2)
+
+  def test_transformer_ring_matches_dense(self):
+    # A full Transformer stack in ring mode (impl flows through to the
+    # attention layers only) must match the dense stack on sharded time.
+    from jax.sharding import PartitionSpec as P
+    from embodied_tpu import nn
+    from embodied_tpu.nn.core import Ctx
+    mesh = make_mesh(4)
+    B, T, U, H = 2, 32, 32, 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, U))
+    key = jax.random.PRNGKey(1)
+
+    dense = nn.Transformer(2, U, H, 'tf', pos='rope', impl='dense')
+    ctx = Ctx({}, create=True, key=key)
+    causal_mask = jnp.tril(jnp.ones((T, T), bool))[None, None]
+    dense(ctx, x, mask=causal_mask)
+    store = dict(ctx.store)
+    actx = Ctx(store, create=False, key=key, meta=ctx.meta)
+    want = dense(actx, x, mask=causal_mask)
+
+    ring = nn.Transformer(2, U, H, 'tf', pos='rope', impl='ring',
+                          causal=True)
+
+    def fn(x):
+      ictx = Ctx(store, create=False, key=key, meta=ctx.meta)
+      return ring(ictx, x)
+
+    got = jax.shard_map(
+        fn, mesh=mesh, in_specs=P(None, 't'), out_specs=P(None, 't'),
+        check_vma=False)(x)
+    # Two residual blocks compound bf16 rounding; slightly wider bars
+    # than the single-layer test.
+    np.testing.assert_allclose(
+        np.asarray(want, np.float32), np.asarray(got, np.float32),
+        rtol=5e-2, atol=8e-2)
