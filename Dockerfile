@@ -26,5 +26,8 @@ RUN pip install --no-cache-dir "dm-control" || true
 
 COPY . .
 
-ENV JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
+# The compilation cache dir is chosen at runtime (parallel/setup.py
+# host_cache_dir): it is fingerprinted by the host CPU features because
+# XLA:CPU AOT executables crash when loaded on a host missing features
+# they were compiled with.
 ENTRYPOINT ["python", "-m", "embodied_tpu.models.dreamerv3.main"]

@@ -158,6 +158,15 @@ class Model:
       spaces['memory'] = Space(np.float32, self.acfg.rnn.units)
     return spaces
 
+  @property
+  def latent_keys(self):
+    """The GRU state is table-eligible (device-resident, see
+    parallel/latents.py); the behavior logp columns are training data and
+    must stay in replay."""
+    if self.recurrent and self.config.replay_context:
+      return ('memory',)
+    return ()
+
   # --- Carries ------------------------------------------------------------
 
   def initial(self, batch_size):
@@ -216,10 +225,11 @@ class Model:
     if self.config.replay_context:
       K = self.config.replay_context
       prevact = {k: data[k][:, K - 1: -1] for k in self.act_space}
-      data = {k: v[:, K:] for k, v in data.items()}
       if self.recurrent:
+        # Resume from the state stored AFTER the last context step, i.e.
+        # index K-1 of the UNSLICED window (the first trained step is K).
         memory = nn.cast(data['memory'][:, K - 1])
-        data = {k: v for k, v in data.items() if k != 'memory'}
+      data = {k: v[:, K:] for k, v in data.items() if k != 'memory'}
     else:
       prepend = lambda x, y: jnp.concatenate([x[:, None], y[:, :-1]], 1)
       prevact = {k: prepend(prevact[k], data[k]) for k in self.act_space}

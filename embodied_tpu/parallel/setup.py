@@ -11,10 +11,32 @@ import os
 _DONE = [False]
 
 
+def host_cache_dir(base='/tmp/jax_cache'):
+  """Compile-cache directory fingerprinted by this host's CPU features.
+
+  XLA:CPU serializes AOT executables specialized to the compile machine's
+  feature set; loading one on a host without those features crashes
+  (SIGILL/SEGV) rather than recompiling, and the upstream cache key does
+  not include the feature set. Fingerprinting the directory makes sharing
+  a cache path across heterogeneous machines safe."""
+  import hashlib
+  import platform as plat
+  text = plat.machine() + plat.processor()
+  try:
+    with open('/proc/cpuinfo') as f:
+      for line in f:
+        if line.startswith(('flags', 'Features')):
+          text += line
+          break
+  except OSError:
+    pass
+  return f'{base}_{hashlib.md5(text.encode()).hexdigest()[:10]}'
+
+
 def setup(
     platform=None, compute_dtype='bfloat16', prealloc=True, jit=True,
     debug=False, mock_devices=0, expect_devices=0, coordinator_address='',
-    deterministic=False, cache_dir='/tmp/jax_cache', xla_flags=''):
+    deterministic=False, cache_dir='auto', xla_flags=''):
   if _DONE[0]:
     import jax
     return jax.devices()
@@ -35,22 +57,25 @@ def setup(
   # tuning flags, so we only forward user-provided xla_flags.
   os.environ['XLA_FLAGS'] = ' '.join(x for x in flags if x).strip()
 
-  if cache_dir:
-    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', cache_dir)
-    os.environ.setdefault(
-        'JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0.5')
-
   import jax
   import jax.numpy as jnp
 
   try:
     if platform:
       jax.config.update('jax_platforms', platform)
-    if cache_dir:
-      jax.config.update('jax_compilation_cache_dir', cache_dir)
-      jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
   except RuntimeError as e:
     print(f'jax setup: backend already initialized, skipping ({e})')
+  if cache_dir == 'auto':
+    # Persistent compile cache only for accelerator backends: XLA:CPU AOT
+    # executables intermittently SEGFAULT on deserialization (machine
+    # feature mismatches like +prefer-no-scatter warn and then crash
+    # instead of falling back to a recompile), so caching them is a
+    # reliability hazard. TPU serialization is stable and is where the
+    # 20-40s compiles make the cache worthwhile.
+    cache_dir = '' if jax.default_backend() == 'cpu' else host_cache_dir()
+  if cache_dir:
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
   if debug:
     jax.config.update('jax_debug_nans', True)
     jax.config.update('jax_disable_most_optimizations', True)

@@ -17,10 +17,11 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 
-# Persistent compilation cache: this machine has few cores and XLA:CPU
-# compiles are seconds each; caching them across test runs is a big win.
-jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
-jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+# NO persistent compilation cache on XLA:CPU: deserializing its AOT
+# executables intermittently segfaults (machine-feature mismatches like
+# +prefer-no-scatter warn and then crash instead of recompiling). Compile
+# times are paid per run instead; parallel/setup.py keeps the cache for
+# TPU, where serialization is stable and compiles are expensive.
+os.environ.pop('JAX_COMPILATION_CACHE_DIR', None)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

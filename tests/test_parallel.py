@@ -82,7 +82,53 @@ def _run_combined(logdir):
       make_env, make_env, make_stream, make_logger, args)
 
 
+def _run_combined_dreamer(logdir):
+  # Full actor-learner system with the real jitted DreamerV3 agent in
+  # latent-table mode: the actor thread scatters policy latents while the
+  # learner thread donates the same tables, and slot/slotgen columns ride
+  # the RPC replay service instead of latent payloads.
+  import os
+  os.environ.pop('JAX_PLATFORMS', None)
+  import jax
+  jax.config.update('jax_platforms', 'cpu')
+  from embodied_tpu.models import common
+  from embodied_tpu.models.dreamerv3 import main as dv3_main
+
+  path = os.path.join(os.path.dirname(dv3_main.__file__), 'configs.yaml')
+  config = common.assemble_config(path, [
+      '--configs', 'debug',
+      '--script', 'parallel',
+      '--task', 'dummy_disc',
+      '--logdir', logdir,
+      '--batch_size', '4',
+      '--batch_length', '8',
+      '--run.train_ratio', '4',
+      '--run.duration', '25',
+      '--run.envs', '2',
+      '--run.eval_envs', '0',
+      '--run.log_every', '5',
+      '--run.save_every', '10',
+      '--run.report_every', '1e9',
+      '--jax.platform', '',
+      '--jax.mesh', '1,1,1',
+  ])
+  common.run_script(config, dv3_main.make_agent)
+
+
 class TestParallel:
+
+  def test_combined_roles_dreamer_latent_table(self, tmp_path):
+    logdir = str(tmp_path)
+    ctx = mp.get_context('spawn')
+    proc = ctx.Process(target=_run_combined_dreamer, args=(logdir,))
+    proc.start()
+    proc.join(timeout=240)
+    if proc.is_alive():
+      proc.terminate()
+      proc.join(10)
+      raise AssertionError('parallel dreamer run did not stop in time')
+    files = os.listdir(logdir)
+    assert 'agent.pkl' in files, files
 
   def test_combined_roles(self, tmp_path):
     logdir = str(tmp_path)

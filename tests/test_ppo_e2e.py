@@ -40,6 +40,30 @@ class TestPPOEndToEnd:
     config = make_config(tmp_path, steps=128)
     common.run_script(config, ppo_main.make_agent)
 
+  def test_latent_table_replaces_memory_column(self, tmp_path):
+    # With the device-resident latent table on (default), the recurrent
+    # GRU state never reaches the host: replay stores slot ids and the
+    # policy outs carry slot/slotgen instead of the memory vector.
+    import numpy as np
+    config = make_config(tmp_path)
+    agent = ppo_main.make_agent(config)
+    assert agent._latents is not None
+    ext = agent.ext_space
+    assert 'slot' in ext and 'memory' not in ext
+    assert 'logp/action' in ext  # Behavior logp stays replay data.
+    obs = agent._example_obs(3)
+    obs['is_first'][:] = True
+    carry = agent.init_policy(3)
+    carry, act, out = agent.policy(carry, obs)
+    assert 'slot' in out and 'memory' not in out
+    B = config.batch_size
+    T = config.batch_length + config.replay_context
+    data = agent._example_batch(B, T)
+    data['is_first'][:, 0] = True
+    tcarry = agent.init_train(B)
+    tcarry, outs, mets = agent.train(tcarry, data)
+    assert np.isfinite(float(mets['opt/loss']))
+
   def test_policy_store_subset(self, tmp_path):
     config = make_config(tmp_path)
     agent = ppo_main.make_agent(config)
