@@ -20,9 +20,9 @@ def main():
            if 'xla_force_host_platform_device_count' not in f]
   os.environ['XLA_FLAGS'] = ' '.join(
       flags + ['--xla_force_host_platform_device_count=4'])
-  # Each process must use its own compilation cache: concurrent writers
-  # race, and the processes have identical programs anyway.
-  os.environ['JAX_COMPILATION_CACHE_DIR'] = f'/tmp/jax_cache_mh{rank}'
+  # No persistent compile cache on XLA:CPU: its AOT deserialization
+  # segfaults intermittently (see parallel/setup.py host_cache_dir note).
+  os.environ.pop('JAX_COMPILATION_CACHE_DIR', None)
   import jax
   jax.config.update('jax_platforms', 'cpu')
   jax.distributed.initialize(
