@@ -98,18 +98,24 @@ class Agent(corelib.Agent):
     if (self._latent_keys and slots_cfg != 0 and self.policy_mesh is None
         and not self.use_shardmap):
       spaces = {k: model.ext_space[k] for k in self._latent_keys}
+      minimum = 4 * self.batch_size * (self.batch_length +
+                                       self.replay_context)
       if slots_cfg > 0:
-        capacity = slots_cfg
+        capacity = max(slots_cfg, minimum)
+        eval_slots = max(minimum, capacity // 10)
       else:
         budget = float(getattr(jaxcfg, 'latent_budget_gb', 4.0)) * (1 << 30)
         replay_size = int(float(getattr(config, 'replay_size', 1e6)))
         per = latentslib.LatentTable.bytes_per_slot(spaces)
-        capacity = min(replay_size, int(budget // per))
-      capacity = max(
-          capacity,
-          4 * self.batch_size * (self.batch_length + self.replay_context))
+        # Eval envs allocate from a separate region sized for the eval
+        # replay (capacity/10 in the run protocols), so eval traffic can
+        # never wrap the train ring early.
+        eval_slots = max(minimum, replay_size // 10)
+        capacity = max(minimum, min(
+            replay_size, int(budget // per) - eval_slots))
       self._latents = latentslib.LatentTable(
-          spaces, capacity, self.mesh, self.nprocs, jax.process_index())
+          spaces, capacity, self.mesh, self.nprocs, jax.process_index(),
+          eval_slots=eval_slots)
       print(f'Latent table: {self._latents.capacity:,} device-resident '
             f'slots ({self._latents.nbytes / (1 << 20):.0f} MB HBM)')
 
@@ -476,7 +482,8 @@ class Agent(corelib.Agent):
         # Allocate slots host-side; the jitted step scatters the packed
         # latents into the HBM table, so only the 4-byte ids come back.
         B = len(next(iter(obs.values())))
-        slots, gens = self._latents.alloc(B)
+        slots, gens = self._latents.alloc(
+            B, 'eval' if mode == 'eval' else 'train')
         extra = self._device_batch({'slot': slots, 'slotgen': gens})
         fn = self._policy_table.get(mode, self._policy_table['train'])
         tables, carry, act, out = fn(
@@ -686,5 +693,11 @@ class Agent(corelib.Agent):
         new[key] = jax.device_put(value, self.shardings[key])
     self.store = new
     self._counters.update(data.get('counters', {}))
-    if self._latents is not None and 'latents' in data:
-      self._latents.load(data['latents'])
+    if self._latents is not None:
+      if 'latents' in data:
+        self._latents.load(data['latents'])
+      else:
+        # Pre-table checkpoint: restored replay may hold (slot, gen) pairs
+        # from the previous run. Start one generation up so stale pairs
+        # can never falsely validate against freshly-minted ones.
+        self._latents.bump_generations()

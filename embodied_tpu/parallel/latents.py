@@ -46,18 +46,28 @@ class LatentTable:
   concurrent allocations never collide.
   """
 
-  def __init__(self, spaces, capacity, mesh, nprocs=1, proc=0):
+  def __init__(self, spaces, capacity, mesh, nprocs=1, proc=0, eval_slots=0):
     assert spaces, 'LatentTable needs at least one latent key'
     self.spaces = dict(spaces)
     self.keys = tuple(self.spaces)
     nshard = int(np.prod(mesh.devices.shape[:2]))
     quantum = max(1, nshard * nprocs)
-    capacity = int(-(-int(capacity) // quantum) * quantum)
+    capacity = int(-(-(int(capacity) + int(eval_slots)) // quantum) * quantum)
     self.capacity = capacity
     self.mesh = mesh
-    self.span = capacity // nprocs
-    self.base = proc * self.span
-    self.counter = 0
+    per = capacity // nprocs
+    # Eval-mode policy calls and eval-replay steps allocate from their own
+    # region so they never churn the train ring: without the split, running
+    # eval envs would wrap train slots faster than the train replay fills
+    # and invalidate context latents early (silent carry resets).
+    eval_span = min(per // 2, -(-int(eval_slots) // nprocs)) if eval_slots \
+        else 0
+    self.spans = {'train': per - eval_span}
+    self.bases = {'train': proc * per}
+    if eval_span:
+      self.spans['eval'] = eval_span
+      self.bases['eval'] = proc * per + (per - eval_span)
+    self.counters = {k: 0 for k in self.spans}
     sharding = NamedSharding(mesh, P(('d', 'f')))
 
     def build():
@@ -80,19 +90,49 @@ class LatentTable:
         int(np.prod(s.shape)) * np.dtype(s.dtype).itemsize
         for s in spaces.values())
 
-  def alloc(self, n):
+  @property
+  def counter(self):
+    return self.counters['train']
+
+  @property
+  def span(self):
+    return self.spans['train']
+
+  def alloc(self, n, region='train'):
     """Allocate n slots; returns (slots int32, gens uint32) numpy arrays."""
-    idx = self.counter + np.arange(n, dtype=np.int64)
-    self.counter += n
-    slots = (self.base + idx % self.span).astype(np.int32)
-    gens = (idx // self.span).astype(np.uint32)
+    if region not in self.spans:
+      region = 'train'
+    span = self.spans[region]
+    idx = self.counters[region] + np.arange(n, dtype=np.int64)
+    self.counters[region] += n
+    slots = (self.bases[region] + idx % span).astype(np.int32)
+    # Generations cycle below GEN_INVALID so an allocated tag can never
+    # equal the table's never-written sentinel.
+    gens = ((idx // span) % int(GEN_INVALID)).astype(np.uint32)
     return slots, gens
 
+  def bump_generations(self):
+    """Advance every region's allocator to the next generation boundary.
+
+    Called when the agent state was restored WITHOUT allocator state (a
+    pre-table checkpoint): restored replay may hold (slot, gen) pairs from
+    the previous run, and fresh allocations restarting at gen 0 would mint
+    identical pairs — stale replay steps would then falsely validate and
+    graft another trajectory's latent as context. Starting one generation
+    up makes every restored pair mismatch until its first refresh."""
+    for region, span in self.spans.items():
+      self.counters[region] = (self.counters[region] // span + 1) * span
+
   def save(self):
-    return {'counter': int(self.counter)}
+    return {'counters': dict(self.counters)}
 
   def load(self, state):
-    self.counter = int(state.get('counter', 0))
+    if 'counters' in state:
+      for k, v in state['counters'].items():
+        if k in self.counters:
+          self.counters[k] = int(v)
+    else:  # Old single-counter checkpoints.
+      self.counters['train'] = int(state.get('counter', 0))
 
   # --- Pure helpers used inside jitted steps ------------------------------
 

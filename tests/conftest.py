@@ -8,6 +8,13 @@ import sys
 # NOTE: the axon TPU plugin in this image overrides the JAX_PLATFORMS env
 # var, so we must pop it and use jax.config instead.
 os.environ.pop('JAX_PLATFORMS', None)
+# NO persistent compilation cache on XLA:CPU: deserializing its AOT
+# executables intermittently segfaults (machine-feature mismatches like
+# +prefer-no-scatter warn and then crash instead of recompiling). Compile
+# times are paid per run instead; parallel/setup.py keeps the cache for
+# TPU, where serialization is stable and compiles are expensive. Must be
+# popped BEFORE the jax import: jax latches env-derived defaults then.
+os.environ.pop('JAX_COMPILATION_CACHE_DIR', None)
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
   os.environ['XLA_FLAGS'] = (
@@ -16,12 +23,6 @@ if 'xla_force_host_platform_device_count' not in flags:
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
-
-# NO persistent compilation cache on XLA:CPU: deserializing its AOT
-# executables intermittently segfaults (machine-feature mismatches like
-# +prefer-no-scatter warn and then crash instead of recompiling). Compile
-# times are paid per run instead; parallel/setup.py keeps the cache for
-# TPU, where serialization is stable and compiles are expensive.
-os.environ.pop('JAX_COMPILATION_CACHE_DIR', None)
+jax.config.update('jax_compilation_cache_dir', None)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -58,6 +58,38 @@ class TestAllocator:
     b, _ = t1.alloc(4)
     assert set(a.tolist()).isdisjoint(b.tolist())
 
+  def test_eval_region_is_disjoint(self):
+    import jax
+    from embodied_tpu.parallel import meshes
+    from embodied_tpu.utils import Space
+    mesh = meshes.make_mesh('1,1,1', devices=jax.devices('cpu')[:1])
+    spaces = {'dyn/deter': Space(np.int8, 16)}
+    table = LatentTable(spaces, 16, mesh, eval_slots=4)
+    # Wrapping eval traffic never touches the train region.
+    tr, _ = table.alloc(16, 'train')
+    ev, _ = table.alloc(40, 'eval')
+    assert set(tr.tolist()).isdisjoint(ev.tolist())
+    assert table.counters['train'] == 16 and table.counters['eval'] == 40
+    # Unknown regions fall back to train allocations.
+    extra, _ = table.alloc(2, 'report')
+    assert set(extra.tolist()) <= set(tr.tolist())
+
+  def test_bump_generations(self):
+    import jax
+    from embodied_tpu.parallel import meshes
+    from embodied_tpu.utils import Space
+    mesh = meshes.make_mesh('1,1,1', devices=jax.devices('cpu')[:1])
+    spaces = {'dyn/deter': Space(np.int8, 16)}
+    table = LatentTable(spaces, 8, mesh)
+    s1, g1 = table.alloc(4)
+    table2 = LatentTable(spaces, 8, mesh)
+    table2.bump_generations()  # Simulates load() of a pre-table ckpt.
+    s2, g2 = table2.alloc(4)
+    # Identical slots but strictly newer generations: the restored replay's
+    # (slot, gen) pairs can never validate against fresh allocations.
+    np.testing.assert_array_equal(s1, s2)
+    assert (g2 > g1).all()
+
   def test_save_load_counter(self):
     import jax
     from embodied_tpu.parallel import meshes
@@ -158,7 +190,21 @@ class TestAgentIntegration:
     agent2.load(state)
     assert agent2._latents.counter == 7
 
+  def test_pretable_checkpoint_bumps_generation(self, tmp_path):
+    # A checkpoint saved without allocator state (pre-table version) must
+    # not let fresh allocations mint (slot, gen) pairs that collide with
+    # pairs potentially sitting in restored replay.
+    config = make_config(tmp_path)
+    agent = dv3_main.make_agent(config)
+    state = agent.save()
+    del state['latents']
+    agent2 = dv3_main.make_agent(config)
+    agent2.load(state)
+    _, gens = agent2._latents.alloc(4)
+    assert (gens >= 1).all()
 
+
+@pytest.mark.slow
 class TestEndToEnd:
 
   def test_train_protocol_with_table(self, tmp_path):

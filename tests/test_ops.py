@@ -63,11 +63,14 @@ class TestBlockGRU:
       np.testing.assert_allclose(
           np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
-  @pytest.mark.parametrize('B', [8, 24])
+  @pytest.mark.parametrize('B', [8, 24, 192, 256])
   def test_fused_bwd_matches_autodiff(self, B):
     # The analytic Pallas backward must produce the same input and weight
     # gradients as differentiating the XLA reference (f32: tight match;
     # the bf16 paths differ only by matmul rounding, covered on TPU).
+    # B=192/256 map to multiple grid chunks, covering the scratch
+    # zero-init / accumulate / flush logic of the weight-grad accumulation
+    # that the imagination path (B*K > 128) exercises in production.
     params = make_params(jax.random.PRNGKey(0))
     deter, stoch, act = make_inputs(B=B)
     dout = jax.random.normal(jax.random.PRNGKey(4), deter.shape,
