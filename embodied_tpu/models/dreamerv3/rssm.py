@@ -34,6 +34,25 @@ def group2flat(x):
   return x.reshape((*x.shape[:-2], x.shape[-2] * x.shape[-1]))
 
 
+def space_to_depth(x, s):
+  """(B, H, W, C) -> (B, H/s, W/s, s*s*C) by folding s x s pixel patches
+  into channels. On TPU this turns the early low-channel convolutions
+  (C=3 inputs, tiny output depths) into matmuls with contraction and
+  output dims big enough to tile the 128x128 MXU."""
+  B, H, W, C = x.shape
+  x = x.reshape(B, H // s, s, W // s, s, C)
+  x = x.transpose(0, 1, 3, 2, 4, 5)
+  return x.reshape(B, H // s, W // s, s * s * C)
+
+
+def depth_to_space(x, s):
+  """Inverse of space_to_depth."""
+  B, H, W, C = x.shape
+  x = x.reshape(B, H, W, s, s, C // (s * s))
+  x = x.transpose(0, 1, 3, 2, 4, 5)
+  return x.reshape(B, H * s, W * s, C // (s * s))
+
+
 class RSSM(nn.Module):
 
   def __init__(
@@ -343,7 +362,7 @@ class Encoder(nn.Module):
   def __init__(
       self, obs_space, name='enc', units=1024, norm='rms', act='gelu',
       depth=64, mults=(2, 3, 4, 4), layers=3, kernel=5, symlog=True,
-      outer=False, strided=False, **kw):
+      outer=False, strided=False, s2d=0, **kw):
     super().__init__(name)
     assert all(len(s.shape) <= 3 for s in obs_space.values()), obs_space
     self.obs_space = obs_space
@@ -353,6 +372,16 @@ class Encoder(nn.Module):
     self.symlog = symlog
     self.outer = outer
     self.strided = strided
+    # Space-to-depth input layout: fold s2d x s2d pixel patches into
+    # channels before the conv stack, so every convolution runs at high
+    # channel counts (MXU-friendly) on a reduced grid. s2d=0 keeps the
+    # reference layout (full-resolution stack, one stage per mult).
+    self.s2d = int(s2d)
+    if self.s2d:
+      assert not outer and not strided, 's2d replaces the outer/strided modes'
+      for k in self.imgkeys:
+        res = obs_space[k].shape[:-1]
+        assert all(r % self.s2d == 0 for r in res), (res, self.s2d)
     self.kernel = kernel
     self.actfn = nn.act(act)
     self.kw = kw
@@ -404,6 +433,8 @@ class Encoder(nn.Module):
       assert all(x.dtype == jnp.uint8 for x in imgs), [x.dtype for x in imgs]
       x = nn.cast(jnp.concatenate(imgs, -1), force=True) / 255 - 0.5
       x = x.reshape((-1, *x.shape[bdims:]))
+      if self.s2d:
+        x = space_to_depth(x, self.s2d)
       for i, (conv, norm) in enumerate(self.convs):
         x = conv(p, x)
         if not self.strided and not (self.outer and i == 0):
@@ -432,7 +463,7 @@ class Decoder(nn.Module):
   def __init__(
       self, obs_space, name='dec', units=1024, norm='rms', act='gelu',
       outscale=1.0, depth=64, mults=(2, 3, 4, 4), layers=3, kernel=5,
-      symlog=True, bspace=8, outer=False, strided=False, **kw):
+      symlog=True, bspace=8, outer=False, strided=False, s2d=0, **kw):
     super().__init__(name)
     self.obs_space = obs_space
     self.veckeys = [k for k, s in obs_space.items() if len(s.shape) <= 2]
@@ -444,6 +475,14 @@ class Decoder(nn.Module):
     self.bspace = bspace
     self.outer = outer
     self.strided = strided
+    # Mirror of the encoder's space-to-depth layout: the conv stack renders
+    # a reduced grid with s2d*s2d*channels outputs and the final
+    # depth-to-space unfolds it to full resolution (see Encoder).
+    self.s2d = int(s2d)
+    if self.s2d:
+      assert not outer and not strided, 's2d replaces the outer/strided modes'
+      assert all(r % self.s2d == 0 for r in (self.imgres or ())), (
+          self.imgres, self.s2d)
     self.kernel = kernel
     self.actfn = nn.act(act)
     self.kw = kw
@@ -458,6 +497,7 @@ class Decoder(nn.Module):
           spaces, outputs, 'vec', outscale=outscale, **kw)
     if self.imgkeys:
       factor = 2 ** (len(self.depths) - int(bool(outer)))
+      factor *= max(1, self.s2d)
       self.minres = [int(x // factor) for x in self.imgres]
       assert 3 <= self.minres[0] <= 16, (self.minres, self.imgres)
       shape = (*self.minres, self.depths[-1])
@@ -480,13 +520,14 @@ class Decoder(nn.Module):
           conv = nn.Conv2D(d, K, f'conv{i}', **kw)
         self.deconvs.append((i, conv, nn.Norm(norm, f'conv{i}norm')))
       okw = dict(**kw, outscale=outscale)
+      outdep = self.imgdep * max(1, self.s2d) ** 2
       if outer:
-        self.imgout = nn.Conv2D(self.imgdep, K, 'imgout', **okw)
+        self.imgout = nn.Conv2D(outdep, K, 'imgout', **okw)
       elif strided:
         self.imgout = nn.Conv2D(
-            self.imgdep, K, 'imgout', stride=2, transp=True, **okw)
+            outdep, K, 'imgout', stride=2, transp=True, **okw)
       else:
-        self.imgout = nn.Conv2D(self.imgdep, K, 'imgout', **okw)
+        self.imgout = nn.Conv2D(outdep, K, 'imgout', **okw)
 
   @property
   def entry_space(self):
@@ -545,6 +586,8 @@ class Decoder(nn.Module):
       if not self.outer and not self.strided:
         x = x.repeat(2, -2).repeat(2, -3)
       x = self.imgout(p, x)
+      if self.s2d:
+        x = depth_to_space(x, self.s2d)
       x = jax.nn.sigmoid(x)
       x = x.reshape((*bshape, *x.shape[1:]))
       split = np.cumsum(
