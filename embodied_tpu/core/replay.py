@@ -1,366 +1,490 @@
-"""Chunked in-RAM replay buffer with streaming inserts and sequence sampling.
+"""Sequence replay over per-worker segment lanes.
 
-Capability parity: /root/reference/embodied/core/replay.py — uniform and
-prioritized selection, per-worker streaming inserts, sequences that span
-chunk boundaries, in-place updates (priorities and latent-state patches used
-by replay-context training), online queue mode for fresh data, ref-counted
-chunk eviction, async npz persistence with corrupt-chunk tolerance, and item
-count reconstruction from filenames.
+Capability match (not a port) for the reference replay
+(/root/reference/embodied/core/replay.py): streaming per-worker inserts,
+fixed-length sequence sampling with pluggable selectors, in-place updates
+(priorities and column patches), an online queue for fresh sequences,
+bounded capacity with FIFO eviction, and resumable on-disk persistence
+that tolerates corrupt shards.
 
-Step ids are 20 bytes: 16-byte chunk uuid + 4-byte big-endian index, exposed
-to the agent as a uint8 vector so they can round-trip through device memory.
+The design is different from the reference's uuid-linked chunk store:
+
+- Every insert worker owns a **lane**: an append-only stream of steps at
+  monotonically increasing positions. A lane is stored as fixed-capacity
+  columnar **segments** that are position-aligned (segment i covers
+  positions [i*segcap, (i+1)*segcap)), so locating the segment holding a
+  position is integer division — no uuid maps, no successor links.
+- A sampleable item is just (lane, start). Sequences touch at most two
+  adjacent segments (segcap >= length by construction) and are assembled
+  with two bulk column copies.
+- Eviction is a per-lane **frontier**: items leave FIFO, the frontier of
+  their lane advances, and a segment is freed exactly when the frontier
+  passes its end — no reference counting.
+- Step ids are 12 bytes (lane u32 | position u64, big-endian), carried as
+  a uint8 column so they round-trip through device memory; updates decode
+  them right back into (lane, pos) array indices.
+- Persistence writes one npz shard per segment, named
+  ``{timestamp}-{lane}-{base}-{count}-{length}.npz``. Loading groups
+  shards by lane, splits each lane into contiguous runs (a missing or
+  corrupt shard simply splits the run), and rehydrates every run as a
+  fresh lane — item counts follow from run lengths alone.
 """
 
-import threading
+import time
 from collections import defaultdict, deque
 from concurrent.futures import ThreadPoolExecutor
-from functools import partial as bind
 
 import numpy as np
 
-from ..utils import Path, RWLock, UUID, timer
-from . import chunk as chunklib
+from ..utils import Path, RWLock, timer
 from . import limiters
 from . import selectors
 
+STEPID_BYTES = 12
+
+
+def packids(lane, positions):
+  """Vectorized stepid encoding: (lane u32 | pos u64) as uint8[12] rows."""
+  n = len(positions)
+  out = np.empty((n, STEPID_BYTES), np.uint8)
+  out[:, :4] = np.frombuffer(
+      np.uint32(lane).byteswap().tobytes(), np.uint8)
+  out[:, 4:] = (
+      np.asarray(positions, np.uint64)
+      .byteswap().view(np.uint8).reshape(n, 8))
+  return out
+
+
+def unpackid(stepid):
+  """Decode one uint8[12] stepid row back to (lane, pos)."""
+  raw = stepid.tobytes()
+  return (int.from_bytes(raw[:4], 'big'), int.from_bytes(raw[4:12], 'big'))
+
+
+class Segment:
+  """Fixed-capacity columnar slab; columns materialize on first append."""
+
+  __slots__ = ('base', 'capacity', 'count', 'cols', 'saved_count')
+
+  def __init__(self, base, capacity):
+    self.base = base
+    self.capacity = capacity
+    self.count = 0
+    self.cols = None
+    self.saved_count = -1  # Count at the time of the last shard write.
+
+  @property
+  def nbytes(self):
+    if self.cols is None:
+      return 0
+    return sum(v.nbytes for v in self.cols.values())
+
+  def append(self, step):
+    if self.cols is None:
+      self.cols = {
+          k: np.empty((self.capacity, *v.shape), v.dtype)
+          for k, v in step.items()}
+    for k, v in step.items():
+      self.cols[k][self.count] = v
+    self.count += 1
+
+  def read(self, lo, hi, out, at, keys):
+    for k in keys:
+      out[k][at: at + (hi - lo)] = self.cols[k][lo:hi]
+
+  def write(self, lo, values, offset, num):
+    for k, v in values.items():
+      if k in self.cols:
+        self.cols[k][lo: lo + num] = v[offset: offset + num]
+
 
 class Replay:
+  """Sequence replay buffer. See module docstring for the design."""
 
   def __init__(
       self, length, capacity=None, directory=None, chunksize=1024,
       online=False, selector=None, save_wait=False, name='unnamed', seed=0):
-    self.length = length
-    self.capacity = capacity
-    self.chunksize = chunksize
+    assert length >= 1, length
+    self.length = int(length)
+    self.capacity = int(capacity) if capacity else None
+    # Position-aligned segments must cover a whole sequence so any sample
+    # touches at most two of them.
+    self.segcap = max(int(chunksize), self.length)
     self.name = name
     self.online = online
-
     self.sampler = selector if selector is not None else selectors.Uniform(
         seed)
 
-    self.chunks = {}
-    self.refs = {}
-    self.refs_lock = threading.RLock()
+    # lanes[lane] = {segment_index: Segment}; ends[lane] = next position.
+    self.lanes = defaultdict(dict)
+    self.ends = defaultdict(int)
+    self.frontier = defaultdict(int)  # Oldest live item start per lane.
+    self.workers = {}  # Insert-worker key -> lane id.
+    self.nlanes = 0
 
-    self.items = {}
-    self.fifo = deque()
-    self.itemid = 0
+    # FIFO item registry: itemid -> (lane, start) in ring arrays.
+    self.item_head = 0  # Oldest live itemid.
+    self.item_tail = 0  # Next itemid.
+    self._ring = np.zeros((2, 1024), np.int64)  # [lane; start] per slot.
 
-    self.current = {}
-    self.streams = defaultdict(deque)
     self.rwlock = RWLock()
-
     if online:
-      self.online_lengths = defaultdict(int)
+      self.online_counts = defaultdict(int)
       self.queue = deque()
 
     if directory:
       self.directory = Path(directory)
       self.directory.mkdir()
-      self.workers = ThreadPoolExecutor(16, 'replay_saver')
-      self.saved = set()
+      self.pool = ThreadPoolExecutor(16, f'replay_saver_{name}')
     else:
       self.directory = None
+      self.pool = None
     self.save_wait = save_wait
 
     self.metrics = {'samples': 0, 'inserts': 0, 'updates': 0}
 
+  # --- Introspection --------------------------------------------------------
+
   def __len__(self):
-    return len(self.items)
+    return self.item_tail - self.item_head
 
   def stats(self):
-    ratio = lambda x, y: x / y if y else np.nan
     m = self.metrics
-    chunk_nbytes = sum(x.nbytes for x in list(self.chunks.values()))
+    nbytes = sum(
+        seg.nbytes for lane in list(self.lanes.values())
+        for seg in list(lane.values()))
     stats = {
-        'items': len(self.items),
-        'chunks': len(self.chunks),
-        'streams': len(self.streams),
-        'ram_gb': chunk_nbytes / (1024 ** 3),
+        'items': len(self),
+        'segments': sum(len(x) for x in self.lanes.values()),
+        'lanes': len(self.lanes),
+        'ram_gb': nbytes / (1024 ** 3),
         'inserts': m['inserts'],
         'samples': m['samples'],
         'updates': m['updates'],
-        'replay_ratio': ratio(self.length * m['samples'], m['inserts']),
+        'replay_ratio': (
+            self.length * m['samples'] / m['inserts']
+            if m['inserts'] else np.nan),
     }
-    for key in self.metrics:
-      self.metrics[key] = 0
+    for key in m:
+      m[key] = 0
     return stats
+
+  # --- Insert path ----------------------------------------------------------
 
   @timer.section('replay_add')
   def add(self, step, worker=0):
-    step = {k: v for k, v in step.items() if not k.startswith('log/')}
+    step = {
+        k: np.asarray(v) for k, v in step.items() if not k.startswith('log/')}
     with self.rwlock.reading:
-      step = {k: np.asarray(v) for k, v in step.items()}
-
-      if worker not in self.current:
-        chunk = chunklib.Chunk(self.chunksize)
-        with self.refs_lock:
-          self.refs[chunk.uuid] = 1
-        self.chunks[chunk.uuid] = chunk
-        self.current[worker] = (chunk.uuid, 0)
-
-      chunkid, index = self.current[worker]
-      step['stepid'] = np.frombuffer(
-          bytes(chunkid) + index.to_bytes(4, 'big'), np.uint8)
-      stream = self.streams[worker]
-      chunk = self.chunks[chunkid]
-      chunk.append(step)
-      stream.append((chunkid, index))
-      with self.refs_lock:
-        self.refs[chunkid] += 1
-
-      index += 1
-      if index < chunk.size:
-        self.current[worker] = (chunkid, index)
-      else:
-        self._complete(chunk, worker)
-
-      if len(stream) >= self.length:
-        self.metrics['inserts'] += 1
-        chunkid, index = stream.popleft()
-        self._insert(chunkid, index)
-        if self.online and self.online_lengths[worker] % self.length == 0:
-          self.queue.append((chunkid, index))
-
+      lane = self.workers.get(worker)
+      if lane is None:
+        lane = self.workers[worker] = self._new_lane()
+      pos = self.ends[lane]
+      step['stepid'] = packids(lane, [pos])[0]
+      segs = self.lanes[lane]
+      idx = pos // self.segcap
+      seg = segs.get(idx)
+      if seg is None:
+        seg = segs[idx] = Segment(idx * self.segcap, self.segcap)
+      seg.append(step)
+      self.ends[lane] = pos + 1
+      start = pos + 1 - self.length
+      if start >= 0:
+        self._insert(lane, start)
+        # Queue a fresh window once per `length` added steps (the counter
+        # ticks on every add, so the cadence matches the reference's:
+        # first queued window starts one step after the stream fills).
+        if self.online and self.online_counts[lane] % self.length == 0:
+          self.queue.append((lane, start))
       if self.online:
-        self.online_lengths[worker] += 1
+        self.online_counts[lane] += 1
+
+  def _new_lane(self):
+    lane = self.nlanes
+    self.nlanes += 1
+    return lane
+
+  def _insert(self, lane, start):
+    self.metrics['inserts'] += 1
+    while self.capacity and len(self) >= self.capacity:
+      self._evict()
+    itemid = self.item_tail
+    self.item_tail += 1
+    cap = self._ring.shape[1]
+    if self.item_tail - self.item_head > cap:
+      self._grow_ring()
+      cap = self._ring.shape[1]
+    self._ring[:, itemid % cap] = (lane, start)
+    stepids = packids(lane, range(start, start + self.length))
+    self.sampler[itemid] = stepids
+
+  def _grow_ring(self):
+    old = self._ring
+    cap = old.shape[1]
+    new = np.zeros((2, cap * 2), np.int64)
+    ids = np.arange(self.item_head, self.item_tail - 1)
+    new[:, ids % (cap * 2)] = old[:, ids % cap]
+    self._ring = new
+
+  def _evict(self):
+    itemid = self.item_head
+    self.item_head += 1
+    del self.sampler[itemid]
+    lane, start = self._ring[:, itemid % self._ring.shape[1]]
+    lane, start = int(lane), int(start)
+    # Items leave in FIFO order per lane too, so this item's start IS the
+    # lane frontier; everything before start+1 is now unreachable.
+    self.frontier[lane] = start + 1
+    # Free whole segments the frontier has passed: a live sequence starts
+    # at >= frontier, so segment [base, base+cap) is unreachable once
+    # frontier >= base + cap.
+    segs = self.lanes[lane]
+    while segs:
+      idx = min(segs)
+      seg = segs[idx]
+      if self.frontier[lane] >= seg.base + seg.capacity:
+        del segs[idx]
+      else:
+        break
+
+  # --- Sample path ----------------------------------------------------------
 
   @timer.section('replay_sample')
   def sample(self, batch, mode='train'):
+    assert mode in ('train', 'report', 'eval'), mode
     limiters.wait(
-        lambda: len(self.sampler), f'Replay buffer {self.name} is empty')
-    seqs, is_online = zip(*[self._sample(mode) for _ in range(batch)])
-    data = self._assemble_batch(seqs, 0, self.length)
-    data = self._annotate_batch(data, is_online, True)
+        lambda: len(self), f'Replay buffer {self.name} is empty')
+    with self.rwlock.reading:
+      picks = []
+      fresh = 0
+      if self.online and mode == 'train':
+        while self.queue and len(picks) < batch:
+          lane, start = self.queue.popleft()
+          if start >= self.frontier[lane]:
+            picks.append((lane, start))
+        fresh = len(picks)
+      need = batch - len(picks)
+      if need:
+        if hasattr(self.sampler, 'sample_batch'):
+          itemids = self.sampler.sample_batch(need)
+        else:
+          itemids = [self.sampler() for _ in range(need)]
+        cap = self._ring.shape[1]
+        for itemid in itemids:
+          lane, start = self._ring[:, itemid % cap]
+          picks.append((int(lane), int(start)))
+      if mode == 'train':
+        self.metrics['samples'] += batch
+      data = self._gather(picks)
+    return self._annotate(data, fresh)
+
+  def _gather(self, picks):
+    """Assemble [B, length, ...] arrays; each pick copies <= 2 slices."""
+    with timer.section('assemble_batch'):
+      first = self._segment_at(*picks[0])
+      out = {
+          k: np.empty((len(picks), self.length, *v.shape[1:]), v.dtype)
+          for k, v in first.cols.items()}
+      keys = list(out.keys())
+      L, cap = self.length, self.segcap
+      for n, (lane, start) in enumerate(picks):
+        idx, off = divmod(start, cap)
+        seg = self.lanes[lane][idx]
+        n0 = min(L, cap - off)
+        row = {k: out[k][n] for k in keys}
+        seg.read(off, off + n0, row, 0, keys)
+        if n0 < L:
+          self.lanes[lane][idx + 1].read(0, L - n0, row, n0, keys)
+      return out
+
+  def _segment_at(self, lane, start):
+    return self.lanes[lane][start // self.segcap]
+
+  def _annotate(self, data, fresh):
+    if 'is_first' in data:
+      data['is_first'][:, 0] = True
+      if 'is_last' in data:
+        # Steps whose successor begins a new episode must close theirs,
+        # even if the episode was abandoned mid-run.
+        nxt = np.roll(data['is_first'], -1, axis=1)
+        nxt[:, -1] = False
+        data['is_last'] = data['is_last'] | nxt
     return data
+
+  # --- Update path ----------------------------------------------------------
 
   @timer.section('replay_update')
   def update(self, data):
     data = dict(data)
-    stepid = data.pop('stepid')
+    stepid = np.asarray(data.pop('stepid'))
     priority = data.pop('priority', None)
     assert stepid.ndim == 3, stepid.shape
     self.metrics['updates'] += int(np.prod(stepid.shape[:-1]))
-    if priority is not None:
-      assert priority.ndim == 2, priority.shape
-      if hasattr(self.sampler, 'prioritize'):
-        self.sampler.prioritize(
-            stepid.reshape((-1, stepid.shape[-1])), priority.flatten())
-    if data:
+    if priority is not None and hasattr(self.sampler, 'prioritize'):
+      self.sampler.prioritize(
+          stepid.reshape((-1, stepid.shape[-1])), np.ravel(priority))
+    if not data:
+      return
+    with self.rwlock.reading:
       for i, row in enumerate(stepid):
-        sid = row[0].tobytes()
-        chunkid = UUID(sid[:-4])
-        index = int.from_bytes(sid[-4:], 'big')
+        lane, start = unpackid(row[0])
         values = {k: v[i] for k, v in data.items()}
-        try:
-          self._setseq(chunkid, index, values)
-        except KeyError:
-          pass  # Sequence was evicted since it was sampled.
+        self._patch(lane, start, values)
 
-  def _sample(self, mode):
-    assert mode in ('train', 'report', 'eval'), mode
-    if mode == 'train':
-      self.metrics['samples'] += 1
-    while True:
-      try:
-        if self.online and mode == 'train' and self.queue:
-          chunkid, index = self.queue.popleft()
-          is_online = True
-        else:
-          with timer.section('selector_sample'):
-            itemid = self.sampler()
-          chunkid, index = self.items[itemid]
-          is_online = False
-        seq = self._getseq(chunkid, index, concat=False)
-        return seq, is_online
-      except (KeyError, IndexError):
-        continue
+  def _patch(self, lane, start, values):
+    num = len(next(iter(values.values())))
+    segs = self.lanes.get(lane)
+    if segs is None or start < self.frontier.get(lane, 0):
+      return  # Evicted since it was sampled.
+    idx, off = divmod(start, self.segcap)
+    done = 0
+    while done < num:
+      seg = segs.get(idx)
+      if seg is None:
+        return
+      take = min(num - done, seg.capacity - off)
+      seg.write(off, values, done, take)
+      done += take
+      idx, off = idx + 1, 0
 
-  def _insert(self, chunkid, index):
-    while self.capacity and len(self.items) >= self.capacity:
-      self._remove()
-    itemid = self.itemid
-    self.itemid += 1
-    self.items[itemid] = (chunkid, index)
-    stepids = self._getseq(chunkid, index, ['stepid'])['stepid']
-    self.sampler[itemid] = stepids
-    self.fifo.append(itemid)
-
-  def _remove(self):
-    itemid = self.fifo.popleft()
-    del self.sampler[itemid]
-    chunkid, index = self.items.pop(itemid)
-    with self.refs_lock:
-      self.refs[chunkid] -= 1
-      if self.refs[chunkid] < 1:
-        del self.refs[chunkid]
-        chunk = self.chunks.pop(chunkid)
-        if chunk.succ in self.refs:
-          self.refs[chunk.succ] -= 1
-
-  def _getseq(self, chunkid, index, keys=None, concat=True):
-    chunk = self.chunks[chunkid]
-    available = chunk.length - index
-    if available >= self.length:
-      seq = chunk.slice(index, self.length)
-      if keys:
-        seq = {k: seq[k] for k in keys}
-      if not concat:
-        seq = {k: [v] for k, v in seq.items()}
-      return seq
-    parts = [chunk.slice(index, available)]
-    remaining = self.length - available
-    while remaining > 0:
-      chunk = self.chunks[chunk.succ]
-      used = min(remaining, chunk.length)
-      parts.append(chunk.slice(0, used))
-      remaining -= used
-    seq = {k: [p[k] for p in parts] for k in keys or parts[0].keys()}
-    if concat:
-      seq = {k: np.concatenate(v, 0) for k, v in seq.items()}
-    return seq
-
-  def _setseq(self, chunkid, index, values):
-    length = len(next(iter(values.values())))
-    chunk = self.chunks[chunkid]
-    available = chunk.length - index
-    if available >= length:
-      return chunk.update(index, length, values)
-    part = {k: v[:available] for k, v in values.items()}
-    values = {k: v[available:] for k, v in values.items()}
-    chunk.update(index, available, part)
-    remaining = length - available
-    while remaining > 0:
-      chunk = self.chunks[chunk.succ]
-      used = min(remaining, chunk.length)
-      part = {k: v[:used] for k, v in values.items()}
-      values = {k: v[used:] for k, v in values.items()}
-      chunk.update(0, used, part)
-      remaining -= used
-
-  @timer.section('assemble_batch')
-  def _assemble_batch(self, seqs, start, stop):
-    shape = (len(seqs), stop - start)
-    data = {
-        key: np.empty((*shape, *parts[0].shape[1:]), parts[0].dtype)
-        for key, parts in seqs[0].items()}
-    for n, seq in enumerate(seqs):
-      st = dt = 0  # Source and destination time cursors.
-      for p in range(len(seq['stepid'])):
-        partlen = len(seq['stepid'][p])
-        if start < st + partlen:
-          part_start = max(0, start - st)
-          part_stop = min(stop - st, partlen)
-          num = part_stop - part_start
-          for k in data:
-            data[k][n, dt: dt + num] = seq[k][p][part_start: part_stop]
-          dt += num
-        st += partlen
-        if st >= stop:
-          break
-    return data
-
-  def _annotate_batch(self, data, is_online, is_first):
-    data = dict(data)
-    if 'is_first' in data:
-      if is_first:
-        data['is_first'] = data['is_first'].copy()
-        data['is_first'][:, 0] = True
-      if 'is_last' in data:
-        # Abandoned episodes must still end with is_last.
-        next_is_first = np.roll(data['is_first'], shift=-1, axis=1)
-        next_is_first[:, -1] = False
-        data['is_last'] = data['is_last'] | next_is_first
-    return data
+  # --- Persistence ----------------------------------------------------------
 
   @timer.section('replay_save')
   def save(self):
     if not self.directory:
       return None
     with self.rwlock.writing:
-      for worker, (chunkid, _) in list(self.current.items()):
-        chunk = self.chunks[chunkid]
-        if chunk.length > 0:
-          self._complete(chunk, worker)
-      promises = []
-      for chunk in self.chunks.values():
-        if chunk.length > 0 and chunk.uuid not in self.saved:
-          self.saved.add(chunk.uuid)
-          promises.append(self.workers.submit(chunk.save, self.directory))
+      stamp = time.strftime('%Y%m%dT%H%M%S')
+      futures = []
+      for lane, segs in self.lanes.items():
+        for seg in segs.values():
+          if seg.count > 0 and seg.count != seg.saved_count:
+            futures.append(self.pool.submit(
+                self._write_shard, stamp, lane, seg, seg.saved_count))
+            seg.saved_count = seg.count
       if self.save_wait:
-        [p.result() for p in promises]
+        [f.result() for f in futures]
     return None
+
+  def _write_shard(self, stamp, lane, seg, prev_count):
+    count = seg.count
+    name = f'{stamp}-{lane}-{seg.base}-{count}-{self.length}.npz'
+    cols = {k: v[:count] for k, v in seg.cols.items()}
+    with timer.section('shard_write'):
+      import io
+      buf = io.BytesIO()
+      np.savez_compressed(buf, **cols)
+      # Torn writes surface as corrupt shards, which load() tolerates.
+      (self.directory / name).write_bytes(buf.getvalue())
+    if prev_count > 0:
+      # A longer shard of the same segment supersedes the partial one.
+      for old in self.directory.glob(f'*-{lane}-{seg.base}-{prev_count}-*'):
+        try:
+          old.remove()
+        except OSError:
+          pass
 
   @timer.section('replay_load')
   def load(self, data=None, directory=None, amount=None):
-    directory = directory or self.directory
-    amount = amount or self.capacity or np.inf
-    if not directory:
+    directory = Path(directory) if directory else self.directory
+    amount = amount or self.capacity or float('inf')
+    if not directory or not directory.exists():
       return
-    directory = Path(directory)
-    revsorted = lambda x: sorted(x, reverse=True)
-    names_loaded = revsorted(x.filename for x in list(self.chunks.values()))
-    names_ondisk = revsorted(x.name for x in directory.glob('*.npz'))
-    names_ondisk = [x for x in names_ondisk if x not in names_loaded]
-    if not names_ondisk:
+    shards = []  # (lane_key, base, count, mtime_stamp, path)
+    for path in directory.glob('*.npz'):
+      try:
+        stamp, lane, base, count, length = path.stem.split('-')
+        shards.append((int(lane), int(base), int(count), stamp, path))
+      except ValueError:
+        continue
+    if not shards:
       return
-
-    numitems = self._numitems(names_loaded + names_ondisk)
-    uuids = [UUID(x.split('-')[1]) for x in names_ondisk]
+    # Group by original lane; keep the longest shard per segment base.
+    bylane = defaultdict(dict)
+    for lane, base, count, stamp, path in shards:
+      cur = bylane[lane].get(base)
+      if cur is None or count > cur[0]:
+        bylane[lane][base] = (count, stamp, path)
+    # Split each lane into contiguous runs; load newest runs first until
+    # `amount` items are available, then rehydrate oldest-first so FIFO
+    # eviction still drops the oldest data.
+    runs = []  # (newest_stamp, [(path, count), ...])
+    for lane, bases in bylane.items():
+      run = []
+      prev_end = None
+      for base in sorted(bases):
+        count, stamp, path = bases[base]
+        if prev_end is not None and base != prev_end:
+          runs.append(run)
+          run = []
+        run.append((stamp, path, count))
+        prev_end = base + count
+      if run:
+        runs.append(run)
+    runs.sort(key=lambda run: max(s for s, _, _ in run), reverse=True)
+    chosen = []
     total = 0
-    numchunks = 0
-    for uuid in uuids:
-      numchunks += 1
-      total += numitems[uuid]
+    for run in runs:
+      items = max(0, sum(c for _, _, c in run) - self.length + 1)
+      if total + items > amount:
+        # Trim the oldest shards of this run so only the newest ~amount
+        # items rehydrate (suffixes of a run stay contiguous).
+        keep, kept = [], 0
+        for shard in reversed(run):
+          keep.insert(0, shard)
+          kept += shard[2]
+          if kept - self.length + 1 >= amount - total:
+            break
+        run = keep
+        items = max(0, kept - self.length + 1)
+      chosen.append(run)
+      total += items
       if total >= amount:
         break
-
-    load = bind(chunklib.Chunk.load, error='none')
-    filenames = [directory / x for x in names_ondisk[:numchunks]]
     with ThreadPoolExecutor(16, 'replay_loader') as pool:
-      chunks = [x for x in pool.map(load, filenames) if x]
+      loaded = list(pool.map(self._read_run, chosen))
+    with self.rwlock.reading:
+      for parts in reversed(loaded):  # Oldest runs first.
+        self._rehydrate(parts)
 
-    # Recompute item counts over the chunks that actually loaded, since
-    # corrupt files are skipped.
-    numitems = self._numitems(chunks)
-    with self.rwlock.writing:
-      self.saved.update(chunk.uuid for chunk in chunks)
-      with self.refs_lock:
-        for chunk in chunks:
-          self.chunks[chunk.uuid] = chunk
-          self.refs[chunk.uuid] = 0
-        for chunk in reversed(chunks):
-          count = numitems[chunk.uuid]
-          self.refs[chunk.uuid] += count
-          if chunk.succ in self.refs:
-            self.refs[chunk.succ] += 1
-          for index in range(count):
-            self._insert(chunk.uuid, index)
+  @staticmethod
+  def _read_run(run):
+    parts = []
+    for _, path, count in run:
+      try:
+        with path.open('rb') as f:
+          arrs = np.load(f)
+          parts.append({k: arrs[k] for k in arrs.files})
+      except Exception as e:
+        print(f'Skipping corrupt replay shard {path.name} ({e})')
+        parts.append(None)  # Splits the run on rehydrate.
+    return parts
 
-  def _complete(self, chunk, worker):
-    succ = chunklib.Chunk(self.chunksize)
-    with self.refs_lock:
-      self.refs[chunk.uuid] -= 1
-      self.refs[succ.uuid] = 2
-    self.chunks[succ.uuid] = succ
-    self.current[worker] = (succ.uuid, 0)
-    chunk.succ = succ.uuid
-    return succ
-
-  def _numitems(self, chunks):
-    chunks = [x.filename if hasattr(x, 'filename') else x for x in chunks]
-    if not chunks:
-      return {}
-    stems = sorted([Path(x).stem for x in chunks], reverse=True)
-    fields = [x.split('-') for x in stems]
-    uuids = [UUID(f[1]) for f in fields]
-    succs = [UUID(f[2]) for f in fields]
-    lengths = {u: int(f[3]) for u, f in zip(uuids, fields)}
-    future = {}
-    for uuid, succ in zip(uuids, succs):
-      future[uuid] = lengths[uuid] + future.get(succ, 0)
-    numitems = {}
-    for uuid, succ in zip(uuids, succs):
-      count = lengths[uuid] + 1 - self.length + future.get(succ, 0)
-      numitems[uuid] = int(np.clip(count, 0, lengths[uuid]))
-    return numitems
+  def _rehydrate(self, parts):
+    """Append loaded columns as fresh lanes; a corrupt shard splits the
+    contiguous run into separate lanes so sequences never bridge a gap."""
+    lane = None
+    for cols in parts:
+      if cols is None:
+        lane = None
+        continue
+      if lane is None:
+        lane = self._new_lane()
+      n = len(next(iter(cols.values())))
+      for t in range(n):
+        step = {k: v[t] for k, v in cols.items() if k != 'stepid'}
+        pos = self.ends[lane]
+        step['stepid'] = packids(lane, [pos])[0]
+        segs = self.lanes[lane]
+        idx = pos // self.segcap
+        seg = segs.get(idx)
+        if seg is None:
+          seg = segs[idx] = Segment(idx * self.segcap, self.segcap)
+        seg.append(step)
+        self.ends[lane] = pos + 1
+        start = pos + 1 - self.length
+        if start >= 0:
+          self._insert(lane, start)
+      # Freshly loaded data counts as persisted already.
+      for seg in self.lanes[lane].values():
+        seg.saved_count = seg.count

@@ -92,6 +92,89 @@ class TestReplay:
     assert batch['is_first'][:, 0].all()
 
 
+class TestReplayPersistence:
+
+  def test_partial_shard_superseded(self, tmp_path):
+    # Saving twice while a segment is still filling must leave exactly one
+    # shard for that segment (the longer one supersedes the partial).
+    replay = Replay(length=4, capacity=100, chunksize=16,
+                    directory=str(tmp_path), save_wait=True)
+    for i in range(6):
+      replay.add(make_step(i))
+    replay.save()
+    for i in range(6, 12):
+      replay.add(make_step(i))
+    replay.save()
+    shards = list(tmp_path.glob('*.npz'))
+    assert len(shards) == 1, shards
+    restored = Replay(length=4, capacity=100, chunksize=16,
+                      directory=str(tmp_path))
+    restored.load()
+    assert len(restored) == len(replay)
+
+  def test_corrupt_shard_splits_run(self, tmp_path):
+    replay = Replay(length=4, capacity=100, chunksize=8,
+                    directory=str(tmp_path), save_wait=True)
+    for i in range(24):  # Three full segments.
+      replay.add(make_step(i))
+    replay.save()
+    shards = sorted(tmp_path.glob('*.npz'), key=lambda p: p.name)
+    assert len(shards) == 3
+    # Corrupt the middle segment; windows must never bridge the gap.
+    middle = [p for p in shards if p.name.split('-')[2] == '8'][0]
+    middle.write_bytes(b'not an npz')
+    restored = Replay(length=4, capacity=100, chunksize=8,
+                      directory=str(tmp_path))
+    restored.load()
+    assert 0 < len(restored) < len(replay)
+    for _ in range(20):
+      batch = restored.sample(4)
+      for row in batch['count']:
+        assert (np.diff(row) == 1).all(), row
+        # No sequence may span the missing segment [8, 16).
+        assert not (row[0] < 8 and row[-1] >= 16)
+
+  def test_load_amount_prefers_newest(self, tmp_path):
+    replay = Replay(length=2, capacity=1000, chunksize=4,
+                    directory=str(tmp_path), save_wait=True)
+    for i in range(40):
+      replay.add(make_step(i))
+    replay.save()
+    restored = Replay(length=2, capacity=1000, chunksize=4,
+                      directory=str(tmp_path))
+    restored.load(amount=5)
+    batch = restored.sample(16)
+    # Only the newest shards should have been rehydrated.
+    assert batch['count'].min() >= 20
+
+
+class TestReplayEviction:
+
+  def test_segments_are_freed(self):
+    replay = Replay(length=4, capacity=8, chunksize=8)
+    for i in range(200):
+      replay.add(make_step(i))
+    stats = replay.stats()
+    assert stats['items'] == 8
+    # The frontier frees everything more than ~2 segments back.
+    assert stats['segments'] <= 3
+    batch = replay.sample(8)
+    assert batch['count'].min() >= 200 - 8 - 4
+
+  def test_update_after_eviction_is_noop(self):
+    replay = Replay(length=4, capacity=8, chunksize=8)
+    for i in range(12):
+      replay.add(make_step(i))
+    batch = replay.sample(2)
+    for i in range(100, 150):
+      replay.add(make_step(i))  # Evicts the sampled windows.
+    replay.update({
+        'stepid': batch['stepid'],
+        'count': np.full_like(batch['count'], 999)})
+    again = replay.sample(8)
+    assert not (again['count'] == 999).any()
+
+
 class TestSampleTree:
 
   def test_weighted_sampling(self):
