@@ -7,6 +7,10 @@ import numpy as np
 from embodied_tpu.models import common
 from embodied_tpu.models.director import main as dir_main
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def make_config(tmp_path, steps=48):
   path = os.path.join(os.path.dirname(dir_main.__file__), 'configs.yaml')

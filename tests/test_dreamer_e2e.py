@@ -7,6 +7,10 @@ import numpy as np
 from embodied_tpu.models import common
 from embodied_tpu.models.dreamerv3 import main as dv3_main
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def make_config(tmp_path, steps=48, mesh='1,1,1', batch=4, *extra):
   path = os.path.join(os.path.dirname(dv3_main.__file__), 'configs.yaml')

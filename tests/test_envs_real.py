@@ -6,6 +6,8 @@ import importlib.util
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 has = lambda mod: importlib.util.find_spec(mod) is not None
 
 

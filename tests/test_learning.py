@@ -12,6 +12,10 @@ import numpy as np
 from embodied_tpu.models import common
 from embodied_tpu.models.ppo import main as ppo_main
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 class TestLearning:
 

@@ -13,6 +13,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.multihost
+
 
 def test_two_process_train(tmp_path):
   with socket.socket() as s:

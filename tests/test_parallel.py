@@ -13,6 +13,8 @@ import pytest
 
 from embodied_tpu import remote
 
+pytestmark = pytest.mark.slow
+
 
 def _run_combined(logdir):
   # Runs in a child process so that daemon threads die with it.

@@ -28,6 +28,10 @@ def make_config(tmp_path, steps=64):
   return config
 
 
+import pytest
+
+
+@pytest.mark.slow
 class TestPPOEndToEnd:
 
   def test_train_and_resume(self, tmp_path):

@@ -8,6 +8,10 @@ from embodied_tpu.utils import Config, Counter, Logger, Space, TerminalOutput
 
 import utils
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def make_spaces():
   from embodied_tpu.envs import Dummy

@@ -12,6 +12,10 @@ import numpy as np
 from embodied_tpu.models import common
 from embodied_tpu.models.dreamerv3 import main as dv3_main
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def make_agent(tmp_path, shardmap, mesh='4,2,1', batch=8):
   path = os.path.join(os.path.dirname(dv3_main.__file__), 'configs.yaml')
