@@ -1,13 +1,19 @@
 """Wall-clock schedules, cluster-consistent across replicas.
 
-Capability parity: /root/reference/embodied/core/clock.py — LocalClock
-(0 = off, negative = always) and GlobalClock, which makes identical timing
-decisions on every replica by routing through a clock server on replica 0
-with a barrier over all replicas. The server here runs on our remote RPC
-layer (embodied_tpu.remote) instead of portal.
+Capability match for /root/reference/embodied/core/clock.py: LocalClock
+(every=0 disables, negative fires always) and GlobalClock, which returns
+the identical decision on every replica for the same tick.
+
+Different mechanism than the reference's barrier server: replicas never
+block on each other. Each replica numbers its calls to a given clock with
+a local tick counter; replica 0 serves `poll(clock, tick)` requests by
+deciding each tick ONCE (on first ask, from its own wall clock) and
+memoizing the answer until every replica has read it. A lagging replica
+therefore gets the historical decision for its tick instead of stalling
+the whole cluster at a barrier, and the decision sequence is identical
+everywhere by construction.
 """
 
-import threading
 import time
 
 _CLIENT = None
@@ -15,108 +21,116 @@ _REPLICA = None
 
 
 def setup(is_server, replica, replicas, port, addr):
-  """Wire replica 0 as the clock server; everyone gets a client."""
+  """Start the decision server on replica 0 and connect every replica."""
   global _CLIENT, _REPLICA
   assert _CLIENT is None
   if replicas <= 1:
     return
   from .. import remote
   if is_server:
-    _start_server(port, replicas)
+    _serve(port, replicas)
   client = remote.Client(addr, 'ClockClient')
   client.connect()
   _CLIENT = client
   _REPLICA = replica
 
 
-def _start_server(port, replicas):
+def _serve(port, replicas):
   from .. import remote
+  import threading
 
-  clocks = []
-  requests = []
-  result = [None]
-  receive = threading.Barrier(replicas)
-  respond = threading.Barrier(replicas)
+  lock = threading.Lock()
+  clocks = {}  # clockid -> [every, last_fire_time]
+  memo = {}  # (clockid, tick) -> [decision, reads_left]
 
-  def create(replica, every):
-    requests.append(every)
-    receive.wait()
-    if replica == 0:
-      assert len(requests) == replicas
-      assert all(x == every for x in requests)
-      clockid = len(clocks)
-      clocks.append([float(every), time.time()])
-      result[0] = clockid
-      requests.clear()
-    respond.wait()
-    return result[0]
-
-  def should(replica, clockid, skip):
-    requests.append((clockid, skip))
-    receive.wait()
-    if replica == 0:
-      assert len(requests) == replicas
-      every, prev = clocks[clockid]
-      now = time.time()
-      if every == 0:
-        decision = False
-      elif every < 0:
-        decision = True
-      elif now >= prev + every:
-        clocks[clockid][1] = now
-        decision = True
+  def create(replica, clockid, every):
+    # Replicas create clocks in the same program order, so the caller
+    # supplies the id (its local creation index); first creation wins.
+    with lock:
+      if clockid not in clocks:
+        clocks[clockid] = [float(every), time.time()]
       else:
-        decision = False
-      decision = decision and not any(skip for _, skip in requests)
-      result[0] = decision
-      requests.clear()
-    respond.wait()
-    return result[0]
+        assert clocks[clockid][0] == float(every), (clockid, every)
+    return clockid
+
+  def poll(replica, clockid, tick, skip):
+    with lock:
+      key = (clockid, tick)
+      entry = memo.get(key)
+      if entry is None:
+        every, last = clocks[clockid]
+        now = time.time()
+        if every == 0:
+          decision = False
+        elif every < 0:
+          decision = True
+        elif now >= last + every:
+          decision = True
+          clocks[clockid][1] = now
+        else:
+          decision = False
+        # The first asker's skip flag decides; flags are replica-uniform
+        # (they encode "suppress the first firing", set at construction).
+        decision = decision and not skip
+        entry = memo[key] = [decision, replicas]
+      entry[1] -= 1
+      if entry[1] <= 0:
+        del memo[key]
+      return entry[0]
 
   server = remote.Server(port, 'ClockServer')
   server.bind('create', create, workers=replicas)
-  server.bind('should', should, workers=replicas)
+  server.bind('poll', poll, workers=replicas)
   server.start(block=False)
 
 
 class LocalClock:
+  """Fires at most every `every` seconds; `first` controls the initial
+  call's result. every=0 never fires, negative always fires."""
 
   def __init__(self, every, first=False):
     self.every = every
-    self.prev = None
     self.first = first
+    self.armed_at = None
 
   def __call__(self, step=None, skip=None):
-    if skip:
-      return False
-    if self.every == 0:
+    if skip or self.every == 0:
       return False
     if self.every < 0:
       return True
     now = time.time()
-    if self.prev is None:
-      self.prev = now
+    if self.armed_at is None:
+      self.armed_at = now
       return self.first
-    if now >= self.prev + self.every:
-      self.prev = now
+    if now - self.armed_at >= self.every:
+      self.armed_at = now
       return True
     return False
 
 
 class GlobalClock:
+  """Cluster-consistent clock. Single-replica runs degrade to LocalClock;
+  multi-replica runs poll the replica-0 decision server with a local tick
+  counter (see module docstring)."""
+
+  _created = [0]  # Per-process creation index = cluster-wide clock id.
 
   def __init__(self, every, first=False):
-    self.multihost = bool(_CLIENT)
-    if self.multihost:
-      self.clockid = _CLIENT.call('create', _REPLICA, every).result()
-      self.skip_next = not first
-    else:
-      self.clock = LocalClock(every, first)
+    if _CLIENT is None:
+      self.local = LocalClock(every, first)
+      return
+    self.local = None
+    self.clockid = GlobalClock._created[0]
+    GlobalClock._created[0] += 1
+    _CLIENT.call('create', _REPLICA, self.clockid, every).result()
+    self.tick = 0
+    self.suppress_first = not first
 
   def __call__(self, step=None, skip=None):
-    if self.multihost:
-      if self.skip_next:
-        self.skip_next = False
-        skip = True
-      return _CLIENT.call('should', _REPLICA, self.clockid, bool(skip)).result()
-    return self.clock(step, skip)
+    if self.local is not None:
+      return self.local(step, skip)
+    skip = bool(skip) or (self.suppress_first and self.tick == 0)
+    decision = _CLIENT.call(
+        'poll', _REPLICA, self.clockid, self.tick, skip).result()
+    self.tick += 1
+    return decision

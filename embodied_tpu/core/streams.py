@@ -1,9 +1,11 @@
 """Resumable data pipelines feeding the learner.
 
-Capability parity: /root/reference/embodied/core/streams.py — Stateless,
-Prefetch (background thread with backpressure and save/load of source
-state), Consec (splits long sampled windows into consecutive training chunks
-with optional replay-context prefix), Zip, Map, Mixer.
+Capability match for /root/reference/embodied/core/streams.py (Stateless,
+Prefetch, Consec, Zip, Map, Mixer), rebuilt on a shared combinator base:
+child streams are started together and their states compose with the
+combinator's own cursor into one checkpointable blob. The prefetcher uses a
+bounded queue plus an epoch tag (stale in-flight batches are discarded on
+load) instead of semaphore bookkeeping.
 """
 
 import functools
@@ -16,7 +18,17 @@ from ..utils import tree
 from . import base
 
 
+def _state_of(stream):
+  return stream.save() if hasattr(stream, 'save') else None
+
+
+def _restore(stream, state):
+  if hasattr(stream, 'load'):
+    stream.load(state)
+
+
 class Stateless(base.Stream):
+  """Wraps a sampling callable (or iterator) with no resumable state."""
 
   def __init__(self, nextfn, *args, **kwargs):
     if not callable(nextfn) and hasattr(nextfn, '__next__'):
@@ -36,197 +48,224 @@ class Stateless(base.Stream):
     pass
 
 
+class Combinator(base.Stream):
+  """Shared plumbing for streams built from child streams.
+
+  Children are materialized as iterators on first use; `save()` composes
+  every child's state with this stream's own `cursor()`, and `load()`
+  restores both sides."""
+
+  def __init__(self, *sources):
+    self.sources = list(sources)
+    self._its = None
+
+  def children(self):
+    if self._its is None:
+      self._its = [iter(s) for s in self.sources]
+      self.begin()
+    return self._its
+
+  def __iter__(self):
+    self.children()
+    return self
+
+  def begin(self):
+    pass
+
+  def cursor(self):
+    return None
+
+  def seek(self, cursor):
+    pass
+
+  def save(self):
+    streams = self._its if self._its is not None else self.sources
+    return {
+        'children': [_state_of(s) for s in streams],
+        'cursor': self.cursor(),
+    }
+
+  def load(self, state):
+    streams = self._its if self._its is not None else self.sources
+    for stream, sub in zip(streams, state['children']):
+      _restore(stream, sub)
+    self.seek(state['cursor'])
+
+
 class Prefetch(base.Stream):
-  """Prefetches batches on a daemon thread with semaphore backpressure."""
+  """Runs the source on a daemon thread, keeping up to `amount` batches
+  ready. Backpressure comes from the queue bound itself. Each prefetched
+  batch carries the source state at production time, so `save()` after
+  consuming batch N resumes exactly after batch N — in-flight batches are
+  re-produced, not lost. `load()` bumps an epoch counter; batches
+  produced under an older epoch are discarded on arrival."""
 
   def __init__(self, source, transform=None, amount=1):
     self.source = iter(source) if hasattr(source, '__iter__') else source()
     self.transform = transform or (lambda x: x)
-    self.state = self._getstate()
-    self.requests = threading.Semaphore(amount)
-    self.amount = amount
-    self.queue = queue.Queue()
-    self.thread = threading.Thread(
-        target=self._worker, daemon=True, name='prefetch')
-    self.started = False
+    self.buffer = queue.Queue(maxsize=amount)
+    self.epoch = 0
+    self.state = _state_of(self.source)
+    self.lock = threading.Lock()  # Guards source access + epoch reads.
+    self.thread = None
+
+  def _ensure_started(self):
+    if self.thread is None:
+      self.thread = threading.Thread(
+          target=self._produce, daemon=True, name='prefetch')
+      self.thread.start()
 
   def __iter__(self):
-    if not self.started:
-      self.thread.start()
-      self.started = True
+    self._ensure_started()
     return self
 
   def __next__(self):
-    assert self.started, 'Call iter() before next()'
-    result = self.queue.get()
-    self.requests.release()
-    if isinstance(result, BaseException):
-      raise RuntimeError(str(result)) from result
-    data, self.state = result
-    return data
+    self._ensure_started()
+    while True:
+      item = self.buffer.get()
+      if isinstance(item, BaseException):
+        raise RuntimeError(str(item)) from item
+      epoch, data, state = item
+      if epoch != self.epoch:
+        continue  # Produced before the last load(); stale.
+      self.state = state
+      return data
 
   def save(self):
     return self.state
 
   def load(self, state):
-    if self.started:
-      for _ in range(self.amount):
-        self.queue.get()
-    if hasattr(self.source, 'load'):
-      self.source.load(state)
-    if self.started:
-      self.requests.release(self.amount)
+    with self.lock:
+      self.epoch += 1
+      # Drop anything buffered before restoring: everything in the buffer
+      # (and anything the producer is blocked trying to enqueue) carries
+      # the old epoch tag and would be discarded on arrival anyway.
+      while True:
+        try:
+          self.buffer.get_nowait()
+        except queue.Empty:
+          break
+      _restore(self.source, state)
+      self.state = state
 
-  def _worker(self):
+  def _produce(self):
     try:
       while True:
-        self.requests.acquire()
-        data = next(self.source)
-        data = self.transform(data)
-        state = self._getstate()
-        self.queue.put((data, state))
+        with self.lock:
+          epoch = self.epoch
+          data = next(self.source)
+          state = _state_of(self.source)
+        self.buffer.put((epoch, self.transform(data), state))
     except BaseException as e:
-      self.queue.put(e)
-
-  def _getstate(self):
-    return self.source.save() if hasattr(self.source, 'save') else None
+      self.buffer.put(e)
 
 
-class Consec(base.Stream):
-  """Splits sampled super-sequences into consecutive training chunks.
+class Consec(Combinator):
+  """Cuts sampled super-sequences into consecutive training chunks.
 
-  With length=3, consec=3, prefix=2 a source sequence of 11 steps yields
-  three chunks of 5 steps each, where the first `prefix` steps overlap the
-  previous chunk (replay context). Emits a 'consec' key marking the chunk
-  index within the super-sequence, which the agent uses to decide whether to
-  resume from stored latents.
+  The source yields [B, consec*length + prefix] windows; each call emits
+  one [B, length + prefix] chunk whose first `prefix` steps overlap the
+  previous chunk (replay context), plus a 'consec' column holding the
+  chunk index — index 0 marks a fresh window, so the agent knows when a
+  stored-latent resume is NOT applicable.
   """
 
   def __init__(
       self, source, length, consec, prefix=0, strict=True, contiguous=False):
-    self.source = source
+    super().__init__(source)
     self.length = length
     self.consec = consec
     self.prefix = prefix
     self.strict = strict
     self.contiguous = contiguous
-    self.index = 0
-    self.current = None
-    self.it = None
+    self.window = None
+    self.todo = []  # Pending chunk indices for the current window.
 
-  def __iter__(self):
-    self.it = iter(self.source)
-    return self
+  def begin(self):
+    self.window = None
+    self.todo = []
 
   def __next__(self):
-    if self.index >= self.consec:
-      self.index = 0
-    if self.index == 0:
-      self.current = next(self.it)
-      available = self.current['is_first'].shape[-1]
-      need = self.length * self.consec + self.prefix
-      assert need <= available, (self.length, self.consec, self.prefix,
-                                 available)
+    (source,) = self.children()
+    if not self.todo:
+      self.window = next(source)
+      steps = self.window['is_first'].shape[1]
+      need = self.consec * self.length + self.prefix
       if self.strict:
-        assert need == available, (self.consec, self.length, self.prefix,
-                                   available)
-    start = self.index * self.length
-    stop = start + self.length + self.prefix
-    chunk = {k: v[:, start: stop] for k, v in self.current.items()}
-    chunk['consec'] = np.full(chunk['is_first'].shape, self.index, np.int32)
+        assert steps == need, (steps, self.length, self.consec, self.prefix)
+      else:
+        assert steps >= need, (steps, self.length, self.consec, self.prefix)
+      self.todo = list(range(self.consec))
+    index = self.todo.pop(0)
+    lo = index * self.length
+    hi = lo + self.length + self.prefix
+    chunk = {k: v[:, lo:hi] for k, v in self.window.items()}
+    chunk['consec'] = np.full(
+        chunk['is_first'].shape, index, np.int32)
     if self.contiguous:
       chunk = {k: np.ascontiguousarray(v) for k, v in chunk.items()}
-    self.index += 1
     return chunk
 
-  def save(self):
-    return {
-        'source': self.source.save() if hasattr(self.source, 'save')
-        else None,
-        'index': self.index,
-    }
+  def cursor(self):
+    return {'todo': list(self.todo)}
 
-  def load(self, data):
-    if hasattr(self.source, 'load'):
-      self.source.load(data['source'])
-    self.index = data['index']
+  def seek(self, cursor):
+    # The window itself is not checkpointed; if the run stopped mid-window
+    # the remaining chunk indices are replayed against a freshly sampled
+    # window, preserving the chunk cadence.
+    self.todo = list(cursor['todo'])
+    if self.todo:
+      (source,) = self.children()
+      self.window = next(source)
 
 
-class Zip(base.Stream):
-  """Concatenates batches from several sources along the batch dim."""
+class Zip(Combinator):
+  """Merges parallel sources by concatenating along the batch axis."""
 
   def __init__(self, sources):
     assert len(sources) > 1, len(sources)
-    self.sources = sources
-    self.iterators = None
-
-  def __iter__(self):
-    self.iterators = [iter(x) for x in self.sources]
-    return self
+    super().__init__(*sources)
 
   def __next__(self):
-    parts = [next(x) for x in self.iterators]
+    parts = [next(it) for it in self.children()]
     return tree.tree_map(lambda *xs: np.concatenate(xs), *parts)
 
-  def save(self):
-    return [x.save() for x in self.iterators]
 
-  def load(self, data):
-    assert len(data) == len(self.iterators)
-    [it.load(d) for it, d in zip(self.iterators, data)]
-
-
-class Map(base.Stream):
+class Map(Combinator):
+  """Applies a function to every batch."""
 
   def __init__(self, source, fn, *args, **kwargs):
-    self.source = source
+    super().__init__(source)
     self.fn = lambda x: fn(x, *args, **kwargs)
-    self.iterator = None
-
-  def __iter__(self):
-    self.iterator = iter(self.source)
-    return self
 
   def __next__(self):
-    return self.fn(next(self.iterator))
-
-  def save(self):
-    return self.iterator.save()
-
-  def load(self, data):
-    self.iterator.load(data)
+    (source,) = self.children()
+    return self.fn(next(source))
 
 
-class Mixer(base.Stream):
-  """Draws each batch from one source, chosen by normalized weights."""
+class Mixer(Combinator):
+  """Each batch comes from one source, drawn by normalized weight. The
+  draw is a counter-seeded hash, so resuming from a checkpoint replays
+  the identical source schedule."""
 
   def __init__(self, sources, weights, seed=0):
     assert sources.keys() == weights.keys(), (sources, weights)
-    self.keys = sorted(sources.keys())
-    self.iterators = {k: iter(sources[k]) for k in self.keys}
-    probs = np.array([weights[k] for k in self.keys], np.float64)
-    self.probs = probs / probs.sum()
+    self.names = sorted(sources)
+    super().__init__(*(sources[k] for k in self.names))
+    w = np.array([weights[k] for k in self.names], np.float64)
+    self.probs = w / w.sum()
     self.seed = seed
-    self.step = 0
-
-  def __iter__(self):
-    return self
+    self.count = 0
 
   def __next__(self):
-    rng = np.random.default_rng(seed=[self.seed, self.step])
-    self.step += 1
-    index = rng.choice(len(self.keys), p=self.probs)
-    return next(self.iterators[self.keys[index]])
+    rng = np.random.default_rng([self.seed, self.count])
+    self.count += 1
+    pick = rng.choice(len(self.names), p=self.probs)
+    return next(self.children()[pick])
 
-  def save(self):
-    return {
-        'step': self.step,
-        'seed': self.seed,
-        'sources': {k: it.save() for k, it in self.iterators.items()},
-    }
+  def cursor(self):
+    return {'count': self.count, 'seed': self.seed}
 
-  def load(self, data):
-    self.step = data['step']
-    self.seed = data['seed']
-    for key in self.keys:
-      self.iterators[key].load(data['sources'][key])
+  def seek(self, cursor):
+    self.count = cursor['count']
+    self.seed = cursor['seed']

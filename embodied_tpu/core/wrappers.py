@@ -1,12 +1,15 @@
-"""Environment middleware stack.
+"""Environment middleware.
 
-Capability parity: /root/reference/embodied/core/wrappers.py — TimeLimit,
+Capability match for /root/reference/embodied/core/wrappers.py (TimeLimit,
 ActionRepeat, ClipAction, NormalizeAction, UnifyDtypes, CheckSpaces,
-DiscretizeAction, ResizeImage, BackwardReturn, AddObs, RestartOnException.
+DiscretizeAction, ResizeImage, BackwardReturn, AddObs, RestartOnException),
+re-derived from the Env contract rather than ported: action-rewriting
+wrappers share one `_KeyAction` mechanism, image resizing is integer-index
+numpy (no PIL dependency), and crash restarts use a sliding failure window.
 """
 
-import functools
 import time
+from collections import deque
 
 import numpy as np
 
@@ -14,6 +17,7 @@ from ..utils import Space
 
 
 class Wrapper:
+  """Base: delegates everything to the wrapped env."""
 
   def __init__(self, env):
     self.env = env
@@ -30,97 +34,167 @@ class Wrapper:
       raise ValueError(name)
 
 
+class _KeyAction(Wrapper):
+  """Shared machinery for wrappers that rewrite a single action key on its
+  way into the env and advertise a different space for it."""
+
+  def __init__(self, env, key):
+    super().__init__(env)
+    self.key = key
+    self._space_cache = None
+
+  @property
+  def act_space(self):
+    if self._space_cache is None:
+      spaces = dict(self.env.act_space)
+      replacement = self.outer_space(spaces.get(self.key))
+      if replacement is not None:
+        spaces[self.key] = replacement
+      self._space_cache = spaces
+    return self._space_cache
+
+  def outer_space(self, inner):
+    """Space shown to the agent; None keeps the env's own."""
+    return None
+
+  def to_env(self, value):
+    """Map an agent-side value to the env-side value."""
+    raise NotImplementedError
+
+  def step(self, action):
+    if self.key in action:
+      action = {**action, self.key: self.to_env(action[self.key])}
+    return self.env.step(action)
+
+
+class ClipAction(_KeyAction):
+
+  def __init__(self, env, key='action', low=-1, high=1):
+    super().__init__(env, key)
+    self.low, self.high = low, high
+
+  def to_env(self, value):
+    return np.clip(value, self.low, self.high)
+
+
+class NormalizeAction(_KeyAction):
+  """Presents bounded continuous dims as [-1, 1]; unbounded dims pass."""
+
+  def __init__(self, env, key='action'):
+    super().__init__(env, key)
+    inner = env.act_space[key]
+    bounded = np.isfinite(inner.low) & np.isfinite(inner.high)
+    self._bounded = bounded
+    self._center = np.where(bounded, (inner.low + inner.high) / 2, 0.0)
+    self._halfspan = np.where(bounded, (inner.high - inner.low) / 2, 1.0)
+    self._inner = inner
+
+  def outer_space(self, inner):
+    lo = np.where(self._bounded, -1.0, inner.low)
+    hi = np.where(self._bounded, 1.0, inner.high)
+    return Space(np.float32, inner.shape, lo, hi)
+
+  def to_env(self, value):
+    scaled = self._center + self._halfspan * value
+    return np.where(self._bounded, scaled, value)
+
+
+class DiscretizeAction(_KeyAction):
+  """Presents `bins` discrete choices per dim of a continuous action."""
+
+  def __init__(self, env, key='action', bins=5):
+    super().__init__(env, key)
+    shape = env.act_space[key].shape
+    self._ndim = int(shape[0]) if shape else 1
+    self._grid = np.linspace(-1, 1, bins)
+
+  def outer_space(self, inner):
+    return Space(np.int32, self._ndim, 0, len(self._grid))
+
+  def to_env(self, value):
+    return self._grid[np.asarray(value)]
+
+
 class TimeLimit(Wrapper):
+  """Ends episodes after `duration` decision steps (0 disables)."""
 
   def __init__(self, env, duration, reset=True):
     super().__init__(env)
-    self._duration = duration
-    self._reset = reset
-    self._step = 0
-    self._done = False
+    self._budget = int(duration or 0)
+    self._hard_reset = reset
+    self._left = self._budget
+    self._expired = False
 
   def step(self, action):
-    if action['reset'] or self._done:
-      self._step = 0
-      self._done = False
-      if self._reset:
+    if action['reset'] or self._expired:
+      self._left = self._budget
+      self._expired = False
+      if self._hard_reset:
         return self.env.step({**action, 'reset': True})
+      # Soft mode: keep the env state, only mark the boundary.
       obs = self.env.step({**action, 'reset': False})
       obs['is_first'] = True
       return obs
-    self._step += 1
     obs = self.env.step(action)
-    if self._duration and self._step >= self._duration:
-      obs['is_last'] = True
-    self._done = obs['is_last']
+    if self._budget:
+      self._left -= 1
+      if self._left <= 0:
+        obs['is_last'] = True
+    self._expired = bool(obs['is_last'])
     return obs
 
 
 class ActionRepeat(Wrapper):
+  """Applies each action `repeat` times, summing rewards."""
 
   def __init__(self, env, repeat):
     super().__init__(env)
-    self._repeat = repeat
+    self._repeat = int(repeat)
 
   def step(self, action):
     if action['reset']:
       return self.env.step(action)
-    reward = 0.0
+    total = 0.0
     for _ in range(self._repeat):
       obs = self.env.step(action)
-      reward += obs['reward']
+      total += obs['reward']
       if obs['is_last'] or obs['is_terminal']:
         break
-    obs['reward'] = np.float32(reward)
+    obs['reward'] = np.float32(total)
     return obs
 
 
-class ClipAction(Wrapper):
-
-  def __init__(self, env, key='action', low=-1, high=1):
-    super().__init__(env)
-    self._key = key
-    self._low = low
-    self._high = high
-
-  def step(self, action):
-    if self._key not in action:
-      return self.env.step(action)
-    clipped = np.clip(action[self._key], self._low, self._high)
-    return self.env.step({**action, self._key: clipped})
-
-
-class NormalizeAction(Wrapper):
-  """Exposes bounded continuous actions in [-1, 1] and rescales to env."""
-
-  def __init__(self, env, key='action'):
-    super().__init__(env)
-    self._key = key
-    self._space = env.act_space[key]
-    self._mask = np.isfinite(self._space.low) & np.isfinite(self._space.high)
-    self._low = np.where(self._mask, self._space.low, -1)
-    self._high = np.where(self._mask, self._space.high, 1)
-
-  @functools.cached_property
-  def act_space(self):
-    low = np.where(self._mask, -np.ones_like(self._low), self._low)
-    high = np.where(self._mask, np.ones_like(self._high), self._high)
-    space = Space(np.float32, self._space.shape, low, high)
-    return {**self.env.act_space, self._key: space}
-
-  def step(self, action):
-    orig = (action[self._key] + 1) / 2 * (self._high - self._low) + self._low
-    orig = np.where(self._mask, orig, action[self._key])
-    return self.env.step({**action, self._key: orig})
+def _canonical(dtype):
+  """The framework-canonical dtype for an env-provided dtype."""
+  dtype = np.dtype(dtype)
+  if dtype == bool or dtype == np.uint8:
+    return dtype
+  if np.issubdtype(dtype, np.floating):
+    return np.dtype(np.float32)
+  if np.issubdtype(dtype, np.integer):
+    return np.dtype(np.int32)
+  return dtype
 
 
 class UnifyDtypes(Wrapper):
-  """Canonicalizes dtypes: floats->f32, uint8 stays, other ints->i32."""
+  """Canonicalizes dtypes at the env boundary: floats to f32, ints to i32,
+  keeping bool and uint8 (images) as-is. Actions are cast back to the
+  env's native dtypes on the way in."""
 
   def __init__(self, env):
     super().__init__(env)
-    self._obs_space, _, self._obs_outer = self._convert(env.obs_space)
-    self._act_space, self._act_inner, _ = self._convert(env.act_space)
+    self._obs_space = {
+        k: Space(_canonical(s.dtype), s.shape, s.low, s.high)
+        for k, s in env.obs_space.items()}
+    self._act_space = {
+        k: Space(_canonical(s.dtype), s.shape, s.low, s.high)
+        for k, s in env.act_space.items()}
+    self._act_native = {
+        k: s.dtype for k, s in env.act_space.items()
+        if s.dtype != self._act_space[k].dtype}
+    self._obs_cast = {
+        k: s.dtype for k, s in self._obs_space.items()
+        if s.dtype != env.obs_space[k].dtype}
 
   @property
   def obs_space(self):
@@ -131,179 +205,144 @@ class UnifyDtypes(Wrapper):
     return self._act_space
 
   def step(self, action):
-    action = {
-        k: np.asarray(v, self._act_inner[k]) if k in self._act_inner else v
-        for k, v in action.items()}
+    for key, dtype in self._act_native.items():
+      if key in action:
+        action = {**action, key: np.asarray(action[key], dtype)}
     obs = self.env.step(action)
-    for key, dtype in self._obs_outer.items():
+    for key, dtype in self._obs_cast.items():
       if key in obs:
         obs[key] = np.asarray(obs[key], dtype)
     return obs
 
-  def _convert(self, spaces):
-    results, befores, afters = {}, {}, {}
-    for key, space in spaces.items():
-      before = after = space.dtype
-      if space.dtype == bool:
-        after = np.dtype(bool)
-      elif np.issubdtype(before, np.floating):
-        after = np.dtype(np.float32)
-      elif np.issubdtype(before, np.uint8):
-        after = np.dtype(np.uint8)
-      elif np.issubdtype(before, np.integer):
-        after = np.dtype(np.int32)
-      befores[key] = before
-      afters[key] = after
-      results[key] = Space(after, space.shape, space.low, space.high)
-    return results, befores, afters
-
 
 class CheckSpaces(Wrapper):
-  """Validates every action and observation against the declared spaces."""
+  """Asserts every action/observation matches its declared space."""
 
   def __init__(self, env):
-    assert not (env.obs_space.keys() & env.act_space.keys()), (
-        env.obs_space.keys(), env.act_space.keys())
+    overlap = env.obs_space.keys() & env.act_space.keys()
+    assert not overlap, f'Keys in both obs and act spaces: {overlap}'
     super().__init__(env)
 
   def step(self, action):
     for key, value in action.items():
-      self._check(value, self.env.act_space[key], key)
+      self._validate('action', key, value, self.env.act_space[key])
     obs = self.env.step(action)
     for key, value in obs.items():
       if not key.startswith('log/'):
-        self._check(value, self.env.obs_space[key], key)
+        self._validate('obs', key, value, self.env.obs_space[key])
     return obs
 
-  def _check(self, value, space, key):
-    if not isinstance(value, (
-        np.ndarray, np.generic, list, tuple, int, float, bool)):
-      raise TypeError(f'Invalid type {type(value)} for key {key}.')
-    if space.contains(value):
-      return
-    arr = np.asarray(value)
-    raise ValueError(
-        f"Value for '{key}' with dtype {arr.dtype}, shape {arr.shape}, "
-        f"range [{np.min(value)}, {np.max(value)}] is not in {space}.")
-
-
-class DiscretizeAction(Wrapper):
-
-  def __init__(self, env, key='action', bins=5):
-    super().__init__(env)
-    shape = env.act_space[key].shape
-    self._dims = int(shape[0]) if shape else 1
-    self._values = np.linspace(-1, 1, bins)
-    self._key = key
-
-  @functools.cached_property
-  def act_space(self):
-    space = Space(np.int32, self._dims, 0, len(self._values))
-    return {**self.env.act_space, self._key: space}
-
-  def step(self, action):
-    continuous = np.take(self._values, action[self._key])
-    return self.env.step({**action, self._key: continuous})
+  @staticmethod
+  def _validate(kind, key, value, space):
+    ok_types = (np.ndarray, np.generic, list, tuple, int, float, bool)
+    if not isinstance(value, ok_types):
+      raise TypeError(f'Bad type {type(value)} for {kind} key {key!r}.')
+    if not space.contains(value):
+      arr = np.asarray(value)
+      raise ValueError(
+          f'{kind} {key!r}: dtype {arr.dtype}, shape {arr.shape}, range '
+          f'[{arr.min()}, {arr.max()}] violates {space}.')
 
 
 class ResizeImage(Wrapper):
+  """Nearest-neighbor resize of image observations via integer indexing
+  (no imaging-library dependency)."""
 
   def __init__(self, env, size=(64, 64)):
     super().__init__(env)
     self._size = tuple(size)
-    self._keys = [
-        k for k, v in env.obs_space.items()
-        if len(v.shape) > 1 and tuple(v.shape[:2]) != self._size]
-    if self._keys:
-      from PIL import Image
-      self._Image = Image
+    self._index = {}
+    for key, space in env.obs_space.items():
+      if len(space.shape) > 1 and tuple(space.shape[:2]) != self._size:
+        h, w = space.shape[:2]
+        rows = (np.arange(self._size[0]) * h // self._size[0])
+        cols = (np.arange(self._size[1]) * w // self._size[1])
+        self._index[key] = (rows[:, None], cols[None, :])
 
-  @functools.cached_property
+  @property
   def obs_space(self):
     spaces = dict(self.env.obs_space)
-    for key in self._keys:
-      shape = self._size + spaces[key].shape[2:]
-      spaces[key] = Space(np.uint8, shape)
+    for key in self._index:
+      spaces[key] = Space(np.uint8, self._size + spaces[key].shape[2:])
     return spaces
 
   def step(self, action):
     obs = self.env.step(action)
-    for key in self._keys:
-      image = self._Image.fromarray(obs[key])
-      image = image.resize(self._size, self._Image.NEAREST)
-      obs[key] = np.array(image)
+    for key, (rows, cols) in self._index.items():
+      obs[key] = np.ascontiguousarray(obs[key][rows, cols])
     return obs
 
 
 class BackwardReturn(Wrapper):
-  """Adds discounted backward-looking return as an observation."""
+  """Adds the discounted backward-looking return as observation key
+  'bwreturn' (resets with the episode)."""
 
   def __init__(self, env, horizon):
     super().__init__(env)
-    self._discount = 1 - 1 / horizon
-    self._bwreturn = 0.0
+    self._decay = 1 - 1 / horizon
+    self._acc = 0.0
 
-  @functools.cached_property
+  @property
   def obs_space(self):
     return {**self.env.obs_space, 'bwreturn': Space(np.float32)}
 
   def step(self, action):
     obs = self.env.step(action)
-    self._bwreturn *= (1 - obs['is_first']) * self._discount
-    self._bwreturn += obs['reward']
-    obs['bwreturn'] = np.float32(self._bwreturn)
+    if obs['is_first']:
+      self._acc = 0.0
+    self._acc = self._acc * self._decay + obs['reward']
+    obs['bwreturn'] = np.float32(self._acc)
     return obs
 
 
 class AddObs(Wrapper):
+  """Injects a constant observation key."""
 
   def __init__(self, env, key, value, space):
     super().__init__(env)
-    self._key = key
-    self._value = value
-    self._space = space
+    self._extra = {key: value}
+    self._extra_space = {key: space}
 
-  @functools.cached_property
+  @property
   def obs_space(self):
-    return {**self.env.obs_space, self._key: self._space}
+    return {**self.env.obs_space, **self._extra_space}
 
   def step(self, action):
     obs = self.env.step(action)
-    obs[self._key] = self._value
+    obs.update(self._extra)
     return obs
 
 
 class RestartOnException(Wrapper):
-  """Rebuilds a crashed env, rate-limited by a failure window."""
+  """Rebuilds a crashing env from its constructor, tolerating up to
+  `maxfails` crashes inside any `window`-second sliding interval."""
 
   def __init__(
       self, ctor, exceptions=(Exception,), window=300, maxfails=2, wait=20):
     if not isinstance(exceptions, (tuple, list)):
       exceptions = (exceptions,)
     self._ctor = ctor
-    self._exceptions = tuple(exceptions)
+    self._catch = tuple(exceptions)
     self._window = window
     self._maxfails = maxfails
     self._wait = wait
-    self._last = time.time()
-    self._fails = 0
-    super().__init__(self._ctor())
+    self._crashes = deque()
+    super().__init__(ctor())
 
   def step(self, action):
     try:
       return self.env.step(action)
-    except self._exceptions as e:
-      if time.time() > self._last + self._window:
-        self._last = time.time()
-        self._fails = 1
-      else:
-        self._fails += 1
-      if self._fails > self._maxfails:
-        raise RuntimeError('The env crashed too many times.')
-      print(f'Restarting env after crash with {type(e).__name__}: {e}',
-            flush=True)
+    except self._catch as e:
+      now = time.time()
+      self._crashes.append(now)
+      while self._crashes and self._crashes[0] < now - self._window:
+        self._crashes.popleft()
+      if len(self._crashes) > self._maxfails:
+        raise RuntimeError(
+            f'Env crashed {len(self._crashes)} times within '
+            f'{self._window}s; giving up.') from e
+      print(f'Restarting env after {type(e).__name__}: {e}', flush=True)
       time.sleep(self._wait)
       self.env = self._ctor()
-      action = dict(action)
-      action['reset'] = np.ones_like(action['reset'])
-      return self.env.step(action)
+      return self.env.step(
+          {**action, 'reset': np.ones_like(action['reset'])})

@@ -1,7 +1,9 @@
 """Offline model training from streams only; multi-replica aware.
 
-Capability parity: /root/reference/embodied/run/pretrain.py — GlobalClock
-cadence across replicas, checkpoint writes gated on replica 0.
+Capability match for /root/reference/embodied/run/pretrain.py on the
+run/loop.py harness: no envs or replay service; report/log/save cadence
+comes from GlobalClock so every replica makes identical decisions, and
+only replica 0 writes checkpoints.
 """
 
 import pickle
@@ -9,83 +11,77 @@ import time
 
 from .. import core
 from ..utils import Agg, Checkpoint, FPS, Path, Usage, timer
+from . import loop
 
 
 def pretrain(make_model, make_stream, make_logger, args):
-
   model = make_model()
-  dataset_train = iter(model.stream(make_stream(None, 'train')))
-  dataset_report = iter(model.stream(make_stream(None, 'report')))
-  dataset_eval = iter(model.stream(make_stream(None, 'eval')))
   logger = make_logger()
   step = logger.step
-
-  should_log = core.GlobalClock(args.log_every)
-  should_report = core.GlobalClock(args.report_every)
-  should_save = core.GlobalClock(args.save_every)
-
-  train_agg = Agg()
   usage = Usage(**dict(args.usage))
   fps = FPS()
+  train_agg = Agg()
 
-  carry_train = model.init_train(args.batch_size)
-  carry_report = model.init_report(args.batch_size)
-  carry_eval = model.init_report(args.batch_size)
+  dataset = iter(model.stream(make_stream(None, 'train')))
+  report = loop.Reporter(model, model.stream(make_stream(None, 'report')),
+                         args)
+  evaluate = loop.Reporter(model, model.stream(make_stream(None, 'eval')),
+                           args)
+  carry = model.init_train(args.batch_size)
 
-  write = (args.replica == 0)
+  is_writer = args.replica == 0
   cp = Checkpoint(Path(args.logdir) / 'checkpoint.pkl')
   cp.step = step
   cp.model = model
-  cp.dataset_train = dataset_train
-  cp.dataset_report = dataset_report
-  cp.dataset_eval = dataset_eval
-  if not cp.exists():
-    if args.from_checkpoint:
-      data = pickle.loads(Path(args.from_checkpoint).read_bytes())
-      model.load(data['model'])
-    write and cp.save()
-  else:
+  cp.dataset_train = dataset
+  cp.dataset_report = report.stream
+  cp.dataset_eval = evaluate.stream
+  if cp.exists():
     cp.load()
+  else:
+    if args.from_checkpoint:
+      seed = pickle.loads(Path(args.from_checkpoint).read_bytes())
+      model.load(seed['model'])
+    if is_writer:
+      cp.save()
 
-  print('Starting training')
-  while step < args.steps:
+  def do_report():
+    logger.write()
+    with timer.section('report'):
+      logger.add(report(), prefix='report')
+    with timer.section('eval'):
+      logger.add(evaluate(), prefix='eval')
+    logger.add({'timer': timer.stats()['summary']})
+    logger.write()
 
-    with timer.section('stream'):
-      batch = next(dataset_train)
-    with timer.section('train'):
-      start = time.time()
-      carry_train, outs, mets = model.train(carry_train, batch)
-      logger.add({'dur/train': time.time() - start})
-    train_agg.add(mets)
-    step.increment()
-    fps.step(args.batch_size * args.batch_length)
+  def do_log():
+    logger.add(train_agg.result(), prefix='train')
+    logger.add(usage.stats(), prefix='usage')
+    rate = fps.result()
+    logger.add({'fps': rate, 'spf': 1 / max(rate, 1e-8)})
 
-    if should_report(step):
-      logger.write()
-      with timer.section('report'):
-        agg = Agg()
-        for _ in range(args.consec_report * args.report_batches):
-          carry_report, mets = model.report(carry_report,
-                                            next(dataset_report))
-          agg.add(mets)
-        logger.add(agg.result(), prefix='report')
-      with timer.section('eval'):
-        agg = Agg()
-        for _ in range(args.consec_report * args.report_batches):
-          carry_eval, mets = model.report(carry_eval, next(dataset_eval))
-          agg.add(mets)
-        logger.add(agg.result(), prefix='eval')
-      logger.add({'timer': timer.stats()['summary']})
-      logger.write()
-
-    if should_log(step):
-      logger.add(train_agg.result(), prefix='train')
-      logger.add(usage.stats(), prefix='usage')
-      result = fps.result()
-      logger.add({'fps': result, 'spf': 1 / max(result, 1e-8)})
-
-    if should_save(step) and write:
+  def do_save():
+    if is_writer:
       with timer.section('saving'):
         cp.save()
 
+  # GlobalClock keeps the cadence identical on every replica.
+  tasks = (loop.Schedule(clock=core.GlobalClock)
+           .every(args.report_every, do_report)
+           .every(args.log_every, do_log)
+           .every(args.save_every, do_save))
+  out_of_time = loop.Deadline(args.duration)
+
+  print('Starting training')
+  while step < args.steps and not out_of_time():
+    with timer.section('stream'):
+      batch = next(dataset)
+    with timer.section('train'):
+      began = time.time()
+      carry, outs, mets = model.train(carry, batch)
+      logger.add({'dur/train': time.time() - began})
+    train_agg.add(mets)
+    step.increment()
+    fps.step(args.batch_size * args.batch_length)
+    tasks.poll(step)
   logger.close()

@@ -79,6 +79,72 @@ class TestWrappers:
     assert obs['is_first']  # Env was rebuilt and reset.
 
 
+class TestMoreWrappers:
+
+  def test_resize_image_nearest(self):
+    env = wrappers.ResizeImage(Dummy('disc', size=(16, 16)), size=(8, 8))
+    assert env.obs_space['image'].shape == (8, 8, 3)
+    obs = env.step({'action': np.int32(0), 'reset': True})
+    assert obs['image'].shape == (8, 8, 3)
+    assert obs['image'].dtype == np.uint8
+    # Dummy images are constant per step; nearest resize preserves values.
+    full = Dummy('disc', size=(16, 16)).step(
+        {'action': np.int32(0), 'reset': True})['image']
+    assert (obs['image'] == full[0, 0]).all()
+
+  def test_discretize_action(self):
+    received = []
+
+    class Recorder(Dummy):
+      def step(self, action):
+        received.append(action['action'])
+        return super().step({**action, 'action': np.int32(0)})
+
+    base = Recorder('cont', size=(8, 8))
+    env = wrappers.DiscretizeAction(base, 'action', bins=5)
+    space = env.act_space['action']
+    assert space.dtype == np.int32
+    dims = base.act_space['action'].shape[0]
+    env.step({'action': np.zeros(dims, np.int32), 'reset': True})
+    np.testing.assert_allclose(received[-1], -np.ones(dims))
+    env.step({'action': np.full(dims, 4, np.int32), 'reset': False})
+    np.testing.assert_allclose(received[-1], np.ones(dims))
+    env.step({'action': np.full(dims, 2, np.int32), 'reset': False})
+    np.testing.assert_allclose(received[-1], np.zeros(dims))
+
+  def test_backward_return(self):
+    env = wrappers.BackwardReturn(Dummy('disc', size=(8, 8)), horizon=2)
+    assert 'bwreturn' in env.obs_space
+    obs = env.step({'action': np.int32(0), 'reset': True})
+    acc = obs['reward']
+    assert obs['bwreturn'] == np.float32(acc)
+    for _ in range(5):
+      obs = env.step({'action': np.int32(0), 'reset': False})
+      acc = acc * 0.5 + obs['reward']
+      np.testing.assert_allclose(obs['bwreturn'], acc, rtol=1e-6)
+
+  def test_add_obs(self):
+    env = wrappers.AddObs(
+        Dummy('disc', size=(8, 8)), 'tag', np.float32(7), Space(np.float32))
+    assert 'tag' in env.obs_space
+    obs = env.step({'action': np.int32(0), 'reset': True})
+    assert obs['tag'] == np.float32(7)
+
+  def test_clip_action(self):
+    received = []
+
+    class Recorder(Dummy):
+      def step(self, action):
+        received.append(action['action'])
+        return super().step({**action, 'action': np.int32(0)})
+
+    base = Recorder('cont', size=(8, 8))
+    env = wrappers.ClipAction(base, 'action')
+    dims = base.act_space['action'].shape[0]
+    env.step({'action': np.full(dims, 5.0, np.float32), 'reset': True})
+    np.testing.assert_allclose(received[-1], np.ones(dims))
+
+
 class TestStreams:
 
   def _source(self, total=64, length=12):

@@ -60,6 +60,7 @@ class TestTrain:
     return Config(
         logdir=str(logdir),
         steps=1000,
+        duration=0,
         train_ratio=8.0,
         log_every=0.05,
         report_every=0.05,
