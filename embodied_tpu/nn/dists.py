@@ -1,10 +1,11 @@
 """Output distributions with pred/sample/logp/entropy/kl/loss.
 
-Capability parity: /root/reference/embodied/jax/outs.py — Agg, Frozen,
-Concat, MSE, Huber, Normal, Binary, Categorical, OneHot (straight-through),
-TwoHot (symexp bins with an exactly-zero prediction at uniform init).
-
-Sampling takes an explicit PRNG key (no hidden seed plumbing).
+Capability match for /root/reference/embodied/jax/outs.py (Agg, Frozen,
+Concat, MSE, Huber, Normal, Binary, Categorical, OneHot straight-through,
+TwoHot with an exactly-zero prediction at uniform init), re-derived:
+categorical families normalize once and store log-probabilities, the
+two-hot target uses searchsorted bracketing, and sampling takes an
+explicit PRNG key (no hidden seed plumbing).
 """
 
 import functools
@@ -47,21 +48,21 @@ class Output:
 
 
 class Agg(Output):
-  """Aggregates an elementwise output over trailing event dims."""
+  """Reduces an elementwise output over its trailing `dims` event dims."""
 
   def __init__(self, output, dims, agg=jnp.sum):
     self.output = output
-    self.axes = tuple(-i for i in range(1, dims + 1))
+    self.axes = tuple(range(-dims, 0))
     self.agg = agg
 
   def pred(self):
     return self.output.pred()
 
-  def loss(self, target):
-    return self.agg(self.output.loss(target), self.axes)
-
   def sample(self, seed, shape=()):
     return self.output.sample(seed, shape)
+
+  def loss(self, target):
+    return self.agg(self.output.loss(target), self.axes)
 
   def logp(self, event):
     return self.output.logp(event).sum(self.axes)
@@ -78,7 +79,7 @@ class Agg(Output):
 
 
 class Frozen:
-  """Wraps an output so every method result is stop-gradiented."""
+  """Stop-gradients every method result of the wrapped output."""
 
   def __init__(self, output):
     self.output = output
@@ -86,39 +87,42 @@ class Frozen:
   def __getattr__(self, name):
     if name.startswith('__'):
       raise AttributeError(name)
-    fn = getattr(self.output, name)
-    return functools.partial(self._wrapper, fn)
+    inner = getattr(self.output, name)
+    if not callable(inner):
+      return sg(inner)
+    return functools.partial(self._frozen_call, inner)
 
-  def _wrapper(self, fn, *args, **kwargs):
-    return sg(fn(*args, **kwargs))
+  @staticmethod
+  def _frozen_call(inner, *args, **kwargs):
+    return sg(inner(*args, **kwargs))
 
 
 class Concat:
-  """Concatenation of several outputs along an axis of the event."""
+  """Several outputs side by side along one event axis. Method calls are
+  dispatched with the matching slice of every array argument and the
+  results concatenated back."""
 
   def __init__(self, outputs, midpoints, axis):
     assert len(midpoints) == len(outputs) - 1
     self.outputs = outputs
-    self.midpoints = tuple(midpoints)
+    self.edges = [None, *midpoints, None]
     self.axis = axis
 
   def __getattr__(self, name):
     if name.startswith('__'):
       raise AttributeError(name)
     fns = [getattr(x, name) for x in self.outputs]
-    return functools.partial(self._wrapper, fns)
+    return functools.partial(self._dispatch, fns)
 
-  def _wrapper(self, fns, *args, **kwargs):
-    los = (None,) + self.midpoints
-    his = self.midpoints + (None,)
-    results = []
-    for fn, lo, hi in zip(fns, los, his):
-      index = [slice(None)] * (self.axis + 1)
-      index[self.axis] = slice(lo, hi)
-      index = tuple(index)
-      a, kw = jax.tree.map(lambda x: x[index], (args, kwargs))
-      results.append(fn(*a, **kw))
-    return jax.tree.map(lambda *xs: jnp.concatenate(xs, self.axis), *results)
+  def _dispatch(self, fns, *args, **kwargs):
+    pieces = []
+    for i, fn in enumerate(fns):
+      sel = (slice(None),) * self.axis + (
+          slice(self.edges[i], self.edges[i + 1]),)
+      a, kw = jax.tree.map(lambda x: x[sel], (args, kwargs))
+      pieces.append(fn(*a, **kw))
+    return jax.tree.map(
+        lambda *xs: jnp.concatenate(xs, self.axis), *pieces)
 
 
 class MSE(Output):
@@ -137,7 +141,7 @@ class MSE(Output):
 
 
 class Huber(Output):
-  """Charbonnier (soft Huber) regression loss."""
+  """Charbonnier (smooth Huber) regression loss."""
 
   def __init__(self, mean, eps=1.0):
     self.mean = f32(mean)
@@ -148,8 +152,11 @@ class Huber(Output):
 
   def loss(self, target):
     assert jnp.issubdtype(target.dtype, jnp.floating), target.dtype
-    dist = self.mean - sg(f32(target))
-    return jnp.sqrt(jnp.square(dist) + jnp.square(self.eps)) - self.eps
+    err2 = jnp.square(self.mean - sg(f32(target)))
+    return jnp.sqrt(err2 + self.eps ** 2) - self.eps
+
+
+_LOG_SQRT_2PI = float(0.5 * np.log(2 * np.pi))
 
 
 class Normal(Output):
@@ -157,104 +164,107 @@ class Normal(Output):
   def __init__(self, mean, stddev=1.0):
     self.mean = f32(mean)
     self.stddev = jnp.broadcast_to(f32(stddev), self.mean.shape)
+    self.logstd = jnp.log(self.stddev)
 
   def pred(self):
     return self.mean
 
   def sample(self, seed, shape=()):
-    noise = jax.random.normal(seed, shape + self.mean.shape, f32)
-    return noise * self.stddev + self.mean
+    unit = jax.random.normal(seed, shape + self.mean.shape, f32)
+    return self.mean + self.stddev * unit
 
   def logp(self, event):
     assert jnp.issubdtype(event.dtype, jnp.floating), event.dtype
     z = (f32(event) - self.mean) / self.stddev
-    return -0.5 * jnp.square(z) - jnp.log(self.stddev) - np.float32(
-        0.5 * np.log(2 * np.pi))
+    return -0.5 * jnp.square(z) - self.logstd - _LOG_SQRT_2PI
 
   def entropy(self):
-    return 0.5 * jnp.log(2 * jnp.pi * jnp.square(self.stddev)) + 0.5
+    return self.logstd + _LOG_SQRT_2PI + 0.5
 
   def kl(self, other):
     assert isinstance(other, type(self)), (self, other)
-    ratio = jnp.square(self.stddev / other.stddev)
-    return 0.5 * (
-        ratio + jnp.square(other.mean - self.mean) /
-        jnp.square(other.stddev) - 1 - jnp.log(ratio))
+    var_ratio = jnp.square(self.stddev) / jnp.square(other.stddev)
+    gap = jnp.square(self.mean - other.mean) / jnp.square(other.stddev)
+    return 0.5 * (var_ratio + gap - 1 - jnp.log(var_ratio))
 
 
 class Binary(Output):
 
   def __init__(self, logit):
     self.logit = f32(logit)
+    # log p(1) and log p(0), each computed stably from the logit.
+    self.logp1 = jax.nn.log_sigmoid(self.logit)
+    self.logp0 = jax.nn.log_sigmoid(-self.logit)
 
   def pred(self):
     return self.logit > 0
 
-  def logp(self, event):
-    event = f32(event)
-    return (event * jax.nn.log_sigmoid(self.logit) +
-            (1 - event) * jax.nn.log_sigmoid(-self.logit))
-
   def sample(self, seed, shape=()):
-    prob = jax.nn.sigmoid(self.logit)
+    prob = jnp.exp(self.logp1)
     return jax.random.bernoulli(seed, prob, shape + self.logit.shape)
 
+  def logp(self, event):
+    event = f32(event)
+    return event * self.logp1 + (1 - event) * self.logp0
+
   def entropy(self):
-    p = jax.nn.sigmoid(self.logit)
-    return -(p * jax.nn.log_sigmoid(self.logit) +
-             (1 - p) * jax.nn.log_sigmoid(-self.logit))
+    p1 = jnp.exp(self.logp1)
+    return -(p1 * self.logp1 + (1 - p1) * self.logp0)
 
 
 class Categorical(Output):
+  """Integer-event categorical; normalizes once and stores logprobs."""
 
   def __init__(self, logits, unimix=0.0):
-    logits = f32(logits)
+    logprobs = jax.nn.log_softmax(f32(logits), -1)
     if unimix:
-      probs = jax.nn.softmax(logits, -1)
-      probs = (1 - unimix) * probs + unimix / probs.shape[-1]
-      logits = jnp.log(probs)
-    self.logits = logits
+      probs = jnp.exp(logprobs)
+      k = probs.shape[-1]
+      logprobs = jnp.log((1 - unimix) * probs + unimix / k)
+    self.logprobs = logprobs
+
+  @property
+  def logits(self):
+    return self.logprobs
 
   def pred(self):
-    return jnp.argmax(self.logits, -1)
+    return jnp.argmax(self.logprobs, -1)
 
   def sample(self, seed, shape=()):
     return jax.random.categorical(
-        seed, self.logits, -1, shape + self.logits.shape[:-1])
+        seed, self.logprobs, -1, shape + self.logprobs.shape[:-1])
 
   def logp(self, event):
-    logprobs = jax.nn.log_softmax(self.logits, -1)
-    return jnp.take_along_axis(
-        logprobs, event[..., None].astype(i32), -1)[..., 0]
+    index = event[..., None].astype(i32)
+    return jnp.take_along_axis(self.logprobs, index, -1)[..., 0]
 
   def entropy(self):
-    logprob = jax.nn.log_softmax(self.logits, -1)
-    return -(jnp.exp(logprob) * logprob).sum(-1)
+    return -(jnp.exp(self.logprobs) * self.logprobs).sum(-1)
 
   def kl(self, other):
-    logprob = jax.nn.log_softmax(self.logits, -1)
-    logother = jax.nn.log_softmax(other.logits, -1)
-    return (jnp.exp(logprob) * (logprob - logother)).sum(-1)
+    diff = self.logprobs - other.logprobs
+    return (jnp.exp(self.logprobs) * diff).sum(-1)
 
 
 class OneHot(Output):
-  """Categorical over one-hot events with straight-through gradients."""
+  """Categorical over one-hot events; samples carry straight-through
+  gradients of the class probabilities."""
 
   def __init__(self, logits, unimix=0.0):
     self.dist = Categorical(logits, unimix)
 
   @property
   def logits(self):
-    return self.dist.logits
+    return self.dist.logprobs
 
   def pred(self):
-    return self._onehot_st(self.dist.pred())
+    return self._straight_through(self.dist.pred())
 
   def sample(self, seed, shape=()):
-    return self._onehot_st(self.dist.sample(seed, shape))
+    return self._straight_through(self.dist.sample(seed, shape))
 
   def logp(self, event):
-    return (jax.nn.log_softmax(self.dist.logits, -1) * event).sum(-1)
+    return (self.dist.logprobs * event).sum(-1)
 
   def entropy(self):
     return self.dist.entropy()
@@ -262,19 +272,19 @@ class OneHot(Output):
   def kl(self, other):
     return self.dist.kl(other.dist)
 
-  def _onehot_st(self, index):
-    value = jax.nn.one_hot(index, self.dist.logits.shape[-1], dtype=f32)
-    probs = jax.nn.softmax(self.dist.logits, -1)
-    return sg(value) + (probs - sg(probs))
+  def _straight_through(self, index):
+    k = self.dist.logprobs.shape[-1]
+    hard = jax.nn.one_hot(index, k, dtype=f32)
+    soft = jnp.exp(self.dist.logprobs)
+    return sg(hard - soft) + soft
 
 
 class TwoHot(Output):
   """Distributional regression over two-hot encoded bin targets.
 
-  pred() pairs symmetric bins before accumulating so that symmetric bins
-  with uniform probabilities give exactly zero (the reference achieves the
-  same via a mirrored split-sum, /root/reference/embodied/jax/outs.py:285).
-  """
+  pred() sums symmetric bin pairs first, so symmetric bins with uniform
+  probabilities give exactly zero — the property the reference engineers
+  via a mirrored split-sum (/root/reference/embodied/jax/outs.py:285)."""
 
   def __init__(self, logits, bins, squash=None, unsquash=None):
     logits = f32(logits)
@@ -287,32 +297,26 @@ class TwoHot(Output):
 
   def pred(self):
     terms = self.probs * self.bins
-    # Pairing terms[i] with terms[n-1-i] cancels numerical error exactly
-    # when bins are symmetric and probabilities uniform.
-    paired = 0.5 * (terms + terms[..., ::-1])
-    return self.unsquash(paired.sum(-1))
+    folded = 0.5 * (terms + terms[..., ::-1])
+    return self.unsquash(folded.sum(-1))
 
   def loss(self, target):
     assert jnp.issubdtype(target.dtype, jnp.floating), target.dtype
     target = sg(self.squash(f32(target)))
-    nbins = len(self.bins)
-    below = jnp.clip(
-        (self.bins <= target[..., None]).astype(i32).sum(-1) - 1,
-        0, nbins - 1)
-    above = jnp.clip(
-        nbins - (self.bins > target[..., None]).astype(i32).sum(-1),
-        0, nbins - 1)
-    equal = below == above
-    dist_below = jnp.where(equal, 1, jnp.abs(self.bins[below] - target))
-    dist_above = jnp.where(equal, 1, jnp.abs(self.bins[above] - target))
-    total = dist_below + dist_above
-    weight_below = dist_above / total
-    weight_above = dist_below / total
+    n = len(self.bins)
+    # Bracket the target between adjacent bins via binary search; clipping
+    # collapses out-of-range targets onto the boundary bin (hi == lo).
+    right = jnp.searchsorted(self.bins, target, side='right')
+    lo = jnp.clip(right - 1, 0, n - 1)
+    hi = jnp.clip(right, 0, n - 1)
+    at_edge = lo == hi
+    d_lo = jnp.where(at_edge, 1, jnp.abs(self.bins[lo] - target))
+    d_hi = jnp.where(at_edge, 1, jnp.abs(self.bins[hi] - target))
+    span = d_lo + d_hi
     twohot = (
-        jax.nn.one_hot(below, nbins) * weight_below[..., None] +
-        jax.nn.one_hot(above, nbins) * weight_above[..., None])
-    log_pred = jax.nn.log_softmax(self.logits, -1)
-    return -(twohot * log_pred).sum(-1)
+        jax.nn.one_hot(lo, n) * (d_hi / span)[..., None] +
+        jax.nn.one_hot(hi, n) * (d_lo / span)[..., None])
+    return -(twohot * jax.nn.log_softmax(self.logits, -1)).sum(-1)
 
 
 def symexp_bins(num):

@@ -94,6 +94,8 @@ class Agent(corelib.Agent):
     # >0 = explicit slot count.
     self._latents = None
     self._latent_keys = tuple(getattr(model, 'latent_keys', ()) or ())
+    self._latents_in_replay = bool(
+        getattr(jaxcfg, 'latents_in_replay', False))
     slots_cfg = int(float(getattr(jaxcfg, 'latent_slots', 0)))
     if (self._latent_keys and slots_cfg != 0 and self.policy_mesh is None
         and not self.use_shardmap):
@@ -146,11 +148,16 @@ class Agent(corelib.Agent):
   @property
   def ext_space(self):
     """Replay keys as seen by the host: with the latent table enabled the
-    latent columns are replaced by their 4-byte slot id + generation."""
+    latent columns are replaced by their 4-byte slot id + generation. With
+    jax.latents_in_replay the packed latent columns ride replay AS WELL,
+    serving as the fallback context where a generation tag no longer
+    matches (agent restarted while replay persisted) — reference-exact
+    resume semantics at the cost of the latent payload transfers."""
     ext = dict(self.model.ext_space)
     if self._latents is not None:
-      for key in self._latent_keys:
-        ext.pop(key, None)
+      if not self._latents_in_replay:
+        for key in self._latent_keys:
+          ext.pop(key, None)
       ext['slot'] = Space(np.int32)
       ext['slotgen'] = Space(np.uint32)
     return ext
@@ -357,20 +364,31 @@ class Agent(corelib.Agent):
     K = self.replay_context
     Table = latentslib.LatentTable
 
+    latents_in_replay = self._latents_in_replay
+
     def inject_latents(tables, data):
-      """Pop slot/gen, gather latents from the table into the data dict,
-      and reset the window start where the context latent is invalid
-      (evicted, overwritten, or written before a restart)."""
+      """Pop slot/gen and gather latents from the table into the data
+      dict. Where the generation tag no longer matches (slot evicted,
+      overwritten, or written before a restart): fall back to the packed
+      latents the batch itself carries (latents_in_replay mode), else
+      reset the window start so no stale context is grafted."""
       data = dict(data)
       slots = data.pop('slot')
       gens = data.pop('slotgen')
-      data.update(Table.gather(tables, latent_keys, slots))
+      fresh = Table.gather(tables, latent_keys, slots)
       valid = Table.valid(tables, slots, gens)
-      if K:
-        firstchunk = data['consec'][:, 0] == 0
-        bad = firstchunk & ~valid[:, K - 1]
-        isf = data['is_first']
-        data['is_first'] = isf.at[:, K].set(isf[:, K] | bad)
+      if latents_in_replay:
+        for k in latent_keys:
+          stored = data[k]
+          mask = valid.reshape(valid.shape + (1,) * (stored.ndim - 2))
+          data[k] = jnp.where(mask, fresh[k], stored)
+      else:
+        data.update(fresh)
+        if K:
+          firstchunk = data['consec'][:, 0] == 0
+          bad = firstchunk & ~valid[:, K - 1]
+          isf = data['is_first']
+          data['is_first'] = isf.at[:, K].set(isf[:, K] | bad)
       return data, slots, gens, valid
 
     def trainfn_table(store, tables, seedctr, carry, data):
@@ -378,7 +396,13 @@ class Agent(corelib.Agent):
       data, slots, gens, valid = inject_latents(tables, data)
       new_store, carry, outs, mets = train_core(store, key, carry, data)
       outs = dict(outs)
-      upd = outs.pop('replay', None)
+      if latents_in_replay:
+        # Scatter the refreshed latents into the table AND let them flow
+        # back to the host so the run protocol patches the replay copies
+        # (the restart-safe fallback stays fresh too).
+        upd = outs.get('replay', None)
+      else:
+        upd = outs.pop('replay', None)
       if upd is not None:
         upd = dict(upd)
         upd.pop('stepid', None)
@@ -402,7 +426,12 @@ class Agent(corelib.Agent):
         ctx = Ctx(dict(pstore), create=False, key=key, meta=meta)
         carry, act, out = model.policy(ctx, carry, obs, mode=mode)
         out = dict(out)
-        values = {k: out.pop(k) for k in latent_keys}
+        if latents_in_replay:
+          # The packed latents travel to replay as columns AND into the
+          # table; replay copies become the restart-safe fallback.
+          values = {k: out[k] for k in latent_keys}
+        else:
+          values = {k: out.pop(k) for k in latent_keys}
         tables = Table.scatter(tables, latent_keys, slots, gens, values)
         return tables, carry, act, out
       return fn

@@ -35,14 +35,19 @@ def train(make_agent, make_replay, make_env, make_stream, make_logger, args):
   driver.on_step(episodes)
   driver.on_step(lambda tran, _: learner.tick(step))
 
+  # save_every < 0 disables checkpointing entirely (matches the bsuite
+  # preset's save_every: -1 intent).
+  checkpointing = args.save_every >= 0
   cp = Checkpoint(Path(args.logdir) / 'checkpoint.pkl')
-  cp.step = step
-  cp.agent = agent
-  cp.replay = replay
+  if checkpointing:
+    cp.step = step
+    cp.agent = agent
+    cp.replay = replay
   if args.from_checkpoint:
     seed = pickle.loads(Path(args.from_checkpoint).read_bytes())
     agent.load(seed['agent'])
-  cp.load_or_save()
+  if checkpointing:
+    cp.load_or_save()
 
   def report():
     if len(replay):
@@ -60,8 +65,9 @@ def train(make_agent, make_replay, make_env, make_stream, make_logger, args):
 
   tasks = (loop.Schedule()
            .every(args.report_every, report)
-           .every(args.log_every, log)
-           .every(args.save_every, cp.save))
+           .every(args.log_every, log))
+  if checkpointing:
+    tasks.every(args.save_every, cp.save)
   out_of_time = loop.Deadline(args.duration)
 
   print('Start training loop')

@@ -32,7 +32,7 @@ run_with_retry 4500 runs/learn_r03/proprio.log \
   --task dmc_walker_walk \
   --logdir runs/learn_r03/proprio \
   --run.steps 1.1e6 --run.envs 8 --run.eval_envs 0 \
-  --run.log_every 60 --run.report_every 600 --run.save_every 600 --jax.precompile False
+  --run.log_every 60 --run.report_every 600 --run.save_every -1 --jax.precompile False
 
 sleep 30
 
@@ -42,6 +42,6 @@ run_with_retry 8100 runs/learn_r03/vision.log \
   --task dmc_walker_walk \
   --logdir runs/learn_r03/vision \
   --run.steps 3e5 --run.envs 4 --run.eval_envs 0 \
-  --run.log_every 60 --run.report_every 900 --run.save_every 600 --jax.precompile False
+  --run.log_every 60 --run.report_every 900 --run.save_every -1 --jax.precompile False
 
 echo DONE

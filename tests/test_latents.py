@@ -170,6 +170,41 @@ class TestAgentIntegration:
     assert float(mets['latents/valid']) == 0.0
     assert np.isfinite(float(mets['opt/loss']))
 
+  def test_latents_in_replay_fallback(self, tmp_path):
+    # With jax.latents_in_replay, the packed latent columns ride replay
+    # alongside the slot ids. After an agent restart (fresh table, all
+    # generations invalid) the train step grafts the BATCH-provided
+    # latents instead of resetting the carry: reference-exact resume.
+    import jax
+    cfg = make_config(tmp_path, '--jax.latents_in_replay', 'True')
+    agent = dv3_main.make_agent(cfg)
+    ext = agent.ext_space
+    assert 'slot' in ext and 'dyn/deter' in ext  # Both travel.
+    B = cfg.batch_size
+    T = cfg.batch_length + cfg.replay_context
+    obs = agent._example_obs(B * T)
+    obs['is_first'][:] = True
+    pcarry = agent.init_policy(B * T)
+    pcarry, act, out = agent.policy(pcarry, obs)
+    assert 'dyn/deter' in out and 'slot' in out
+    data = agent._example_batch(B, T)
+    data['is_first'][:, 0] = True
+    data['consec'][:] = 0
+    data['slot'] = out['slot'].reshape(B, T).astype(np.int32)
+    data['slotgen'] = out['slotgen'].reshape(B, T)
+    for k in ('dyn/deter', 'dyn/stoch'):
+      data[k] = np.asarray(jax.device_get(out[k])).reshape(
+          (B, T) + np.asarray(out[k]).shape[1:])
+    # Simulate an agent restart: new agent, empty table, same replay data.
+    agent2 = dv3_main.make_agent(cfg)
+    carry = agent2.init_train(B)
+    carry, outs, mets = agent2.train(carry, data)
+    # Table says invalid, but the batch carried the context.
+    assert float(mets['latents/valid']) == 0.0
+    assert np.isfinite(float(mets['opt/loss']))
+    # Refreshed latents flow back for replay patching in this mode.
+    assert 'replay' in outs
+
   def test_report_with_table(self, tmp_path):
     config = make_config(tmp_path)
     agent = dv3_main.make_agent(config)

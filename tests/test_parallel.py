@@ -5,6 +5,7 @@ test_parallel.py): the topology is real (processes, sockets, batching
 server), only colocated.
 """
 
+import json
 import multiprocessing as mp
 import os
 import time
@@ -117,7 +118,83 @@ def _run_combined_dreamer(logdir):
   common.run_script(config, dv3_main.make_agent)
 
 
+def _run_remote_replay_dreamer(logdir, script, addrs):
+  # Split-machine deployment: the replay service runs as its own process
+  # (script=parallel_replay) while combined() runs agent+logger+envs with
+  # run.remote_replay=True. Slot/slotgen columns cross the machine
+  # boundary through add_batch/sample_batch RPCs.
+  import os
+  os.environ.pop('JAX_PLATFORMS', None)
+  import jax
+  jax.config.update('jax_platforms', 'cpu')
+  from embodied_tpu.models import common
+  from embodied_tpu.models.dreamerv3 import main as dv3_main
+
+  path = os.path.join(os.path.dirname(dv3_main.__file__), 'configs.yaml')
+  config = common.assemble_config(path, [
+      '--configs', 'debug',
+      '--script', script,
+      '--task', 'dummy_disc',
+      '--logdir', logdir,
+      '--batch_size', '4',
+      '--batch_length', '8',
+      '--run.train_ratio', '4',
+      '--run.duration', '90',
+      '--run.envs', '2',
+      '--run.eval_envs', '0',
+      '--run.log_every', '3',
+      '--run.save_every', '10',
+      '--run.report_every', '1e9',
+      '--run.remote_replay', 'True',
+      '--run.actor_addr', addrs['actor'],
+      '--run.replay_addr', addrs['replay'],
+      '--run.logger_addr', addrs['logger'],
+      '--jax.platform', '',
+      '--jax.mesh', '1,1,1',
+  ])
+  common.run_script(config, dv3_main.make_agent)
+
+
 class TestParallel:
+
+  def test_remote_replay_first_visit_context_valid(self, tmp_path):
+    # In split-machine mode (remote replay service), the FIRST training
+    # visit of every step must already find a valid context latent in the
+    # learner's device table: the actor scatters policy latents in-graph,
+    # so only the 4-byte slot ids round-trip through the remote replay.
+    from embodied_tpu import remote
+    logdir = str(tmp_path)
+    addrs = {k: f'localhost:{remote.free_port()}'
+             for k in ('actor', 'replay', 'logger')}
+    ctx = mp.get_context('spawn')
+    replay_proc = ctx.Process(
+        target=_run_remote_replay_dreamer,
+        args=(logdir, 'parallel_replay', addrs))
+    main_proc = ctx.Process(
+        target=_run_remote_replay_dreamer,
+        args=(logdir, 'parallel', addrs))
+    replay_proc.start()
+    main_proc.start()
+    main_proc.join(timeout=420)
+    try:
+      if main_proc.is_alive():
+        main_proc.terminate()
+        main_proc.join(10)
+        raise AssertionError('remote-replay dreamer run did not stop')
+      metrics = []
+      with open(os.path.join(logdir, 'metrics.jsonl')) as f:
+        for line in f:
+          metrics.append(json.loads(line))
+      valids = [m['train/latents/valid'] for m in metrics
+                if 'train/latents/valid' in m]
+      assert valids, [sorted(m) for m in metrics[:3]]
+      # Every trained step was policy-visited exactly in this process, so
+      # its table entry must be live on first visit.
+      assert min(valids) >= 0.99, valids
+    finally:
+      if replay_proc.is_alive():
+        replay_proc.terminate()
+        replay_proc.join(10)
 
   def test_combined_roles_dreamer_latent_table(self, tmp_path):
     logdir = str(tmp_path)

@@ -1,32 +1,56 @@
-"""Test fixtures: a counting agent that proves observation ordering.
+"""Test fixtures: an order-verifying agent for protocol tests.
 
-Mirrors the reference's test strategy (/root/reference/embodied/tests/
-utils.py): the agent's carry arithmetic asserts that the framework delivers
-observations in order, and counts env/replay steps, reports, saves, loads
-for protocol assertions.
+Same test strategy as the reference (a numpy agent whose carry proves that
+the framework delivers observations in order and whose counters back
+protocol assertions) with a shared sequence-verifier used by both the
+policy and train paths.
 """
 
 import time
+from collections import Counter
 
 import numpy as np
 
 
-class TestAgent:
+def verify_counting(counts, resets, carry, reset_value=None):
+  """Checks that `counts` [B, T] continue `carry` [B] except where reset,
+  and returns the carry after the last step. The Dummy env emits a
+  per-episode step counter, so any dropped, duplicated, or reordered
+  transition breaks the arithmetic. Reset steps must equal `reset_value`
+  when given (fresh episodes restart at it); otherwise any value is
+  accepted there (replay windows may open mid-episode)."""
+  counts = np.asarray(counts)
+  resets = np.asarray(resets)
+  if counts.ndim == 1:
+    counts, resets = counts[:, None], resets[:, None]
+  for t in range(counts.shape[1]):
+    at_reset = (counts[:, t] if reset_value is None
+                else np.full_like(counts[:, t], reset_value))
+    want = np.where(resets[:, t], at_reset, carry + 1)
+    got = counts[:, t]
+    assert (got == want).all(), (t, got, want)
+    carry = got
+  return carry
 
-  __test__ = False  # Not a pytest class.
+
+class TestAgent:
+  """Counts interactions and verifies transition order. Not a model."""
+
+  __test__ = False  # Hide from pytest collection.
 
   def __init__(self, obs_space, act_space):
     self.obs_space = obs_space
     self.act_space = act_space
-    self._stats = {
-        'env_steps': 0, 'replay_steps': 0, 'reports': 0,
-        'saves': 0, 'loads': 0, 'created': time.time(),
-    }
+    self.counters = Counter()
+    self.born = time.time()
+
+  COUNTERS = ('env_steps', 'replay_steps', 'reports', 'saves', 'loads')
 
   def stats(self):
-    stats = self._stats.copy()
-    stats['lifetime'] = time.time() - stats.pop('created')
-    return stats
+    out = {name: self.counters[name] for name in self.COUNTERS}
+    out.update(self.counters)
+    out['lifetime'] = time.time() - self.born
+    return out
 
   def init_policy(self, batch_size):
     return (np.zeros(batch_size),)
@@ -38,55 +62,49 @@ class TestAgent:
     return ()
 
   def policy(self, carry, obs, mode='train'):
-    assert set(obs.keys()) == set(self.obs_space.keys())
+    assert set(obs) == set(self.obs_space), (
+        sorted(obs), sorted(self.obs_space))
+    assert not any(k.startswith('log/') for k in obs)
+    (carry,) = carry
     B = len(obs['is_first'])
-    self._stats['env_steps'] += B
-    carry, = carry
-    carry = np.asarray(carry)
-    assert carry.shape == (B,)
-    assert not any(k.startswith('log/') for k in obs.keys())
-    # Counting invariant: each env's count increments unless reset.
-    target = (carry + 1) * (1 - obs['is_first'])
-    assert (obs['count'] == target).all(), (obs['count'], target)
-    carry = target
+    assert np.asarray(carry).shape == (B,)
+    self.counters['env_steps'] += B
+    # On reset steps the env restarts its counter at zero.
+    carry = verify_counting(
+        obs['count'], obs['is_first'], carry, reset_value=0)
     act = {
-        k: np.stack([v.sample() for _ in range(B)])
-        for k, v in self.act_space.items() if k != 'reset'}
+        k: np.stack([s.sample() for _ in range(B)])
+        for k, s in self.act_space.items() if k != 'reset'}
     return (carry,), act, {}
 
   def train(self, carry, data):
-    expected = sorted(
-        (set(self.obs_space.keys() | self.act_space.keys()) | {'stepid'})
-        - {'reset'})
-    assert sorted(data.keys()) == expected, (sorted(data.keys()), expected)
+    want_keys = (set(self.obs_space) | set(self.act_space)
+                 | {'stepid'}) - {'reset'}
+    assert set(data) == want_keys, (sorted(data), sorted(want_keys))
+    (carry,) = carry
     B, T = data['count'].shape
-    carry, = carry
     assert carry.shape == (B,)
-    self._stats['replay_steps'] += B * T
-    for t in range(T):
-      current = data['count'][:, t]
-      reset = data['is_first'][:, t]
-      target = (1 - reset) * (carry + 1) + reset * current
-      assert (current == target).all(), (t, current, target)
-      carry = current
+    self.counters['replay_steps'] += B * T
+    carry = verify_counting(data['count'], data['is_first'], carry)
     return (carry,), {}, {}
 
   def report(self, carry, data):
-    self._stats['reports'] += 1
-    return carry, {
+    self.counters['reports'] += 1
+    media = {
         'scalar': np.float32(0),
         'vector': np.zeros(10),
         'image': np.zeros((64, 64, 3)),
         'video': np.zeros((10, 64, 64, 3)),
     }
+    return carry, media
 
   def stream(self, st):
     return st
 
   def save(self):
-    self._stats['saves'] += 1
-    return self._stats.copy()
+    self.counters['saves'] += 1
+    return dict(self.counters)
 
   def load(self, data):
-    self._stats = dict(data)
-    self._stats['loads'] += 1
+    self.counters = Counter(data)
+    self.counters['loads'] += 1
