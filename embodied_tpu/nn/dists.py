@@ -2,9 +2,10 @@
 
 Capability match for /root/reference/embodied/jax/outs.py (Agg, Frozen,
 Concat, MSE, Huber, Normal, Binary, Categorical, OneHot straight-through,
-TwoHot with an exactly-zero prediction at uniform init), re-derived:
-categorical families normalize once and store log-probabilities, the
-two-hot target uses searchsorted bracketing, and sampling takes an
+TwoHot with an exactly-zero prediction at uniform init), re-derived for
+this stack: categorical families normalize once and keep log-probabilities
+as their canonical parameter, regression losses share a pointwise base,
+the two-hot target is bracketed with searchsorted, and sampling takes an
 explicit PRNG key (no hidden seed plumbing).
 """
 
@@ -15,213 +16,250 @@ import jax.numpy as jnp
 import numpy as np
 
 f32 = jnp.float32
-i32 = jnp.int32
 sg = jax.lax.stop_gradient
+_HALF_LOG_2PI = float(0.5 * np.log(2.0 * np.pi))
 
 
-class Output:
+def _identity(x):
+  return x
 
-  def __repr__(self):
-    pred = self.pred()
-    return f'{type(self).__name__}({pred.dtype}, shape={pred.shape})'
+
+def _as_float(value):
+  assert jnp.issubdtype(value.dtype, jnp.floating), value.dtype
+  return f32(value)
+
+
+class Dist:
+  """Common interface; subclasses override what they support."""
+
+  # Methods a subclass does not override raise NotImplementedError through
+  # this single trampoline, so the base class stays free of stub bodies.
+  def _unsupported(self, what):
+    raise NotImplementedError(f'{type(self).__name__} has no {what}()')
 
   def pred(self):
-    raise NotImplementedError
+    self._unsupported('pred')
+
+  def sample(self, key, shape=()):
+    self._unsupported('sample')
+
+  def logp(self, value):
+    self._unsupported('logp')
+
+  def prob(self, value):
+    return jnp.exp(self.logp(value))
 
   def loss(self, target):
     return -self.logp(sg(target))
 
-  def sample(self, seed, shape=()):
-    raise NotImplementedError
-
-  def logp(self, event):
-    raise NotImplementedError
-
-  def prob(self, event):
-    return jnp.exp(self.logp(event))
-
   def entropy(self):
-    raise NotImplementedError
+    self._unsupported('entropy')
 
   def kl(self, other):
+    self._unsupported('kl')
+
+  def __repr__(self):
+    mean = self.pred()
+    return f'{type(self).__name__}(shape={mean.shape}, {mean.dtype})'
+
+
+class Pointwise(Dist):
+  """Deterministic regression: loss is a pointwise penalty of the error."""
+
+  def __init__(self, mean, squash=None):
+    self._mean = f32(mean)
+    self._squash = squash or _identity
+
+  def pred(self):
+    return self._mean
+
+  def loss(self, target):
+    target = sg(self._squash(_as_float(target)))
+    assert target.shape == self._mean.shape, (target.shape, self._mean.shape)
+    return self._penalty(self._mean - target)
+
+  def _penalty(self, err):
     raise NotImplementedError
 
 
-class Agg(Output):
-  """Reduces an elementwise output over its trailing `dims` event dims."""
+class MSE(Pointwise):
 
-  def __init__(self, output, dims, agg=jnp.sum):
-    self.output = output
-    self.axes = tuple(range(-dims, 0))
-    self.agg = agg
+  def _penalty(self, err):
+    return jnp.square(err)
+
+
+class Huber(Pointwise):
+  """Charbonnier (smooth Huber) penalty."""
+
+  def __init__(self, mean, eps=1.0, squash=None):
+    super().__init__(mean, squash)
+    self._eps = eps
+
+  def _penalty(self, err):
+    return jnp.sqrt(jnp.square(err) + self._eps ** 2) - self._eps
+
+
+class Agg(Dist):
+  """Reduces an elementwise distribution over trailing event dims."""
+
+  def __init__(self, inner, dims, agg=jnp.sum):
+    self._inner = inner
+    self._axes = tuple(range(-dims, 0))
+    self._agg = agg
+
+  def _reduce(self, elem):
+    return self._agg(elem, self._axes)
 
   def pred(self):
-    return self.output.pred()
+    return self._inner.pred()
 
-  def sample(self, seed, shape=()):
-    return self.output.sample(seed, shape)
+  def sample(self, key, shape=()):
+    return self._inner.sample(key, shape)
+
+  def logp(self, value):
+    return self._inner.logp(value).sum(self._axes)
+
+  def prob(self, value):
+    return self._inner.prob(value).sum(self._axes)
 
   def loss(self, target):
-    return self.agg(self.output.loss(target), self.axes)
-
-  def logp(self, event):
-    return self.output.logp(event).sum(self.axes)
-
-  def prob(self, event):
-    return self.output.prob(event).sum(self.axes)
+    return self._reduce(self._inner.loss(target))
 
   def entropy(self):
-    return self.agg(self.output.entropy(), self.axes)
+    return self._reduce(self._inner.entropy())
 
   def kl(self, other):
     assert isinstance(other, Agg), other
-    return self.agg(self.output.kl(other.output), self.axes)
+    return self._reduce(self._inner.kl(other._inner))
 
 
 class Frozen:
-  """Stop-gradients every method result of the wrapped output."""
+  """Stop-gradients every method result of the wrapped distribution."""
 
-  def __init__(self, output):
-    self.output = output
+  def __init__(self, inner):
+    self._inner = inner
 
   def __getattr__(self, name):
     if name.startswith('__'):
       raise AttributeError(name)
-    inner = getattr(self.output, name)
-    if not callable(inner):
-      return sg(inner)
-    return functools.partial(self._frozen_call, inner)
+    member = getattr(self._inner, name)
+    if not callable(member):
+      return sg(member)
+    return functools.partial(Frozen._call, member)
 
   @staticmethod
-  def _frozen_call(inner, *args, **kwargs):
-    return sg(inner(*args, **kwargs))
+  def _call(member, *args, **kwargs):
+    return sg(member(*args, **kwargs))
 
 
 class Concat:
-  """Several outputs side by side along one event axis. Method calls are
-  dispatched with the matching slice of every array argument and the
-  results concatenated back."""
+  """Several distributions side by side along one event axis.
+
+  Any method call slices its array arguments at the stored edges, invokes
+  each part, and concatenates the per-part results back together.
+  """
 
   def __init__(self, outputs, midpoints, axis):
-    assert len(midpoints) == len(outputs) - 1
-    self.outputs = outputs
-    self.edges = [None, *midpoints, None]
-    self.axis = axis
+    assert len(midpoints) + 1 == len(outputs), (len(outputs), len(midpoints))
+    self._parts = tuple(outputs)
+    self._edges = (None,) + tuple(midpoints) + (None,)
+    self._axis = axis
+
+  def _segment(self, i, tree):
+    index = (slice(None),) * self._axis + (
+        slice(self._edges[i], self._edges[i + 1]),)
+    return jax.tree.map(lambda x: x[index], tree)
 
   def __getattr__(self, name):
     if name.startswith('__'):
       raise AttributeError(name)
-    fns = [getattr(x, name) for x in self.outputs]
-    return functools.partial(self._dispatch, fns)
-
-  def _dispatch(self, fns, *args, **kwargs):
-    pieces = []
-    for i, fn in enumerate(fns):
-      sel = (slice(None),) * self.axis + (
-          slice(self.edges[i], self.edges[i + 1]),)
-      a, kw = jax.tree.map(lambda x: x[sel], (args, kwargs))
-      pieces.append(fn(*a, **kw))
-    return jax.tree.map(
-        lambda *xs: jnp.concatenate(xs, self.axis), *pieces)
+    members = tuple(getattr(part, name) for part in self._parts)
+    def call(*args, **kwargs):
+      results = [
+          fn(*self._segment(i, args), **self._segment(i, kwargs))
+          for i, fn in enumerate(members)]
+      concat = lambda *xs: jnp.concatenate(xs, self._axis)
+      return jax.tree.map(concat, *results)
+    return call
 
 
-class MSE(Output):
-
-  def __init__(self, mean, squash=None):
-    self.mean = f32(mean)
-    self.squash = squash or (lambda x: x)
-
-  def pred(self):
-    return self.mean
-
-  def loss(self, target):
-    assert jnp.issubdtype(target.dtype, jnp.floating), target.dtype
-    assert self.mean.shape == target.shape, (self.mean.shape, target.shape)
-    return jnp.square(self.mean - sg(self.squash(f32(target))))
-
-
-class Huber(Output):
-  """Charbonnier (smooth Huber) regression loss."""
-
-  def __init__(self, mean, eps=1.0):
-    self.mean = f32(mean)
-    self.eps = eps
-
-  def pred(self):
-    return self.mean
-
-  def loss(self, target):
-    assert jnp.issubdtype(target.dtype, jnp.floating), target.dtype
-    err2 = jnp.square(self.mean - sg(f32(target)))
-    return jnp.sqrt(err2 + self.eps ** 2) - self.eps
-
-
-_LOG_SQRT_2PI = float(0.5 * np.log(2 * np.pi))
-
-
-class Normal(Output):
+class Normal(Dist):
 
   def __init__(self, mean, stddev=1.0):
-    self.mean = f32(mean)
-    self.stddev = jnp.broadcast_to(f32(stddev), self.mean.shape)
-    self.logstd = jnp.log(self.stddev)
+    self._mean = f32(mean)
+    self._std = jnp.broadcast_to(f32(stddev), self._mean.shape)
+    self._logstd = jnp.log(self._std)
 
   def pred(self):
-    return self.mean
+    return self._mean
 
-  def sample(self, seed, shape=()):
-    unit = jax.random.normal(seed, shape + self.mean.shape, f32)
-    return self.mean + self.stddev * unit
+  @property
+  def mean(self):
+    return self._mean
 
-  def logp(self, event):
-    assert jnp.issubdtype(event.dtype, jnp.floating), event.dtype
-    z = (f32(event) - self.mean) / self.stddev
-    return -0.5 * jnp.square(z) - self.logstd - _LOG_SQRT_2PI
+  @property
+  def stddev(self):
+    return self._std
+
+  def sample(self, key, shape=()):
+    noise = jax.random.normal(key, shape + self._mean.shape, f32)
+    return self._mean + self._std * noise
+
+  def logp(self, value):
+    z = (_as_float(value) - self._mean) / self._std
+    return -(0.5 * jnp.square(z) + self._logstd + _HALF_LOG_2PI)
 
   def entropy(self):
-    return self.logstd + _LOG_SQRT_2PI + 0.5
+    return self._logstd + _HALF_LOG_2PI + 0.5
 
   def kl(self, other):
-    assert isinstance(other, type(self)), (self, other)
-    var_ratio = jnp.square(self.stddev) / jnp.square(other.stddev)
-    gap = jnp.square(self.mean - other.mean) / jnp.square(other.stddev)
-    return 0.5 * (var_ratio + gap - 1 - jnp.log(var_ratio))
+    assert isinstance(other, Normal), other
+    ratio = jnp.square(self._std / other._std)
+    shift = jnp.square((self._mean - other._mean) / other._std)
+    return 0.5 * (ratio + shift - 1.0 - jnp.log(ratio))
 
 
-class Binary(Output):
+class Binary(Dist):
 
   def __init__(self, logit):
-    self.logit = f32(logit)
+    self._logit = f32(logit)
     # log p(1) and log p(0), each computed stably from the logit.
-    self.logp1 = jax.nn.log_sigmoid(self.logit)
-    self.logp0 = jax.nn.log_sigmoid(-self.logit)
+    self._lp1 = jax.nn.log_sigmoid(self._logit)
+    self._lp0 = jax.nn.log_sigmoid(-self._logit)
+
+  @property
+  def logit(self):
+    return self._logit
 
   def pred(self):
-    return self.logit > 0
+    return self._logit > 0
 
-  def sample(self, seed, shape=()):
-    prob = jnp.exp(self.logp1)
-    return jax.random.bernoulli(seed, prob, shape + self.logit.shape)
+  def sample(self, key, shape=()):
+    return jax.random.bernoulli(
+        key, jnp.exp(self._lp1), shape + self._logit.shape)
 
-  def logp(self, event):
-    event = f32(event)
-    return event * self.logp1 + (1 - event) * self.logp0
+  def logp(self, value):
+    on = f32(value)
+    return on * self._lp1 + (1.0 - on) * self._lp0
 
   def entropy(self):
-    p1 = jnp.exp(self.logp1)
-    return -(p1 * self.logp1 + (1 - p1) * self.logp0)
+    p1 = jnp.exp(self._lp1)
+    return -(p1 * self._lp1 + (1.0 - p1) * self._lp0)
 
 
-class Categorical(Output):
-  """Integer-event categorical; normalizes once and stores logprobs."""
+def _mix_uniform(logprobs, amount):
+  """Blend a categorical (given as logprobs) with the uniform distribution."""
+  if not amount:
+    return logprobs
+  count = logprobs.shape[-1]
+  return jnp.log((1.0 - amount) * jnp.exp(logprobs) + amount / count)
+
+
+class Categorical(Dist):
+  """Integer-event categorical, parameterized by normalized logprobs."""
 
   def __init__(self, logits, unimix=0.0):
-    logprobs = jax.nn.log_softmax(f32(logits), -1)
-    if unimix:
-      probs = jnp.exp(logprobs)
-      k = probs.shape[-1]
-      logprobs = jnp.log((1 - unimix) * probs + unimix / k)
-    self.logprobs = logprobs
+    self.logprobs = _mix_uniform(jax.nn.log_softmax(f32(logits), -1), unimix)
 
   @property
   def logits(self):
@@ -230,23 +268,24 @@ class Categorical(Output):
   def pred(self):
     return jnp.argmax(self.logprobs, -1)
 
-  def sample(self, seed, shape=()):
-    return jax.random.categorical(
-        seed, self.logprobs, -1, shape + self.logprobs.shape[:-1])
+  def sample(self, key, shape=()):
+    batch = shape + self.logprobs.shape[:-1]
+    return jax.random.categorical(key, self.logprobs, -1, batch)
 
-  def logp(self, event):
-    index = event[..., None].astype(i32)
-    return jnp.take_along_axis(self.logprobs, index, -1)[..., 0]
+  def logp(self, value):
+    picked = jnp.take_along_axis(
+        self.logprobs, value[..., None].astype(jnp.int32), -1)
+    return picked[..., 0]
 
   def entropy(self):
     return -(jnp.exp(self.logprobs) * self.logprobs).sum(-1)
 
   def kl(self, other):
-    diff = self.logprobs - other.logprobs
-    return (jnp.exp(self.logprobs) * diff).sum(-1)
+    gap = self.logprobs - other.logprobs
+    return (jnp.exp(self.logprobs) * gap).sum(-1)
 
 
-class OneHot(Output):
+class OneHot(Dist):
   """Categorical over one-hot events; samples carry straight-through
   gradients of the class probabilities."""
 
@@ -257,14 +296,20 @@ class OneHot(Output):
   def logits(self):
     return self.dist.logprobs
 
+  def _attach_probs(self, index):
+    width = self.logits.shape[-1]
+    hard = jax.nn.one_hot(index, width, dtype=f32)
+    soft = jnp.exp(self.logits)
+    return soft + sg(hard - soft)
+
   def pred(self):
-    return self._straight_through(self.dist.pred())
+    return self._attach_probs(self.dist.pred())
 
-  def sample(self, seed, shape=()):
-    return self._straight_through(self.dist.sample(seed, shape))
+  def sample(self, key, shape=()):
+    return self._attach_probs(self.dist.sample(key, shape))
 
-  def logp(self, event):
-    return (self.dist.logprobs * event).sum(-1)
+  def logp(self, value):
+    return (self.logits * value).sum(-1)
 
   def entropy(self):
     return self.dist.entropy()
@@ -272,58 +317,62 @@ class OneHot(Output):
   def kl(self, other):
     return self.dist.kl(other.dist)
 
-  def _straight_through(self, index):
-    k = self.dist.logprobs.shape[-1]
-    hard = jax.nn.one_hot(index, k, dtype=f32)
-    soft = jnp.exp(self.dist.logprobs)
-    return sg(hard - soft) + soft
 
-
-class TwoHot(Output):
+class TwoHot(Dist):
   """Distributional regression over two-hot encoded bin targets.
 
-  pred() sums symmetric bin pairs first, so symmetric bins with uniform
-  probabilities give exactly zero — the property the reference engineers
-  via a mirrored split-sum (/root/reference/embodied/jax/outs.py:285)."""
+  pred() folds symmetric bin pairs before summing, so symmetric bins with
+  uniform probabilities give exactly zero — the property the reference
+  engineers via a mirrored split-sum (/root/reference/embodied/jax/outs.py:285).
+  """
 
   def __init__(self, logits, bins, squash=None, unsquash=None):
-    logits = f32(logits)
-    assert logits.shape[-1] == len(bins), (logits.shape, len(bins))
-    self.logits = logits
-    self.probs = jax.nn.softmax(logits, -1)
+    self.logits = f32(logits)
     self.bins = jnp.asarray(bins, f32)
-    self.squash = squash or (lambda x: x)
-    self.unsquash = unsquash or (lambda x: x)
+    assert self.logits.shape[-1] == len(bins), (self.logits.shape, len(bins))
+    self.probs = jax.nn.softmax(self.logits, -1)
+    self._squash = squash or _identity
+    self._unsquash = unsquash or _identity
 
   def pred(self):
-    terms = self.probs * self.bins
-    folded = 0.5 * (terms + terms[..., ::-1])
-    return self.unsquash(folded.sum(-1))
+    weighted = self.probs * self.bins
+    folded = 0.5 * (weighted + weighted[..., ::-1])
+    return self._unsquash(folded.sum(-1))
 
   def loss(self, target):
-    assert jnp.issubdtype(target.dtype, jnp.floating), target.dtype
-    target = sg(self.squash(f32(target)))
-    n = len(self.bins)
-    # Bracket the target between adjacent bins via binary search; clipping
-    # collapses out-of-range targets onto the boundary bin (hi == lo).
-    right = jnp.searchsorted(self.bins, target, side='right')
-    lo = jnp.clip(right - 1, 0, n - 1)
-    hi = jnp.clip(right, 0, n - 1)
-    at_edge = lo == hi
-    d_lo = jnp.where(at_edge, 1, jnp.abs(self.bins[lo] - target))
-    d_hi = jnp.where(at_edge, 1, jnp.abs(self.bins[hi] - target))
-    span = d_lo + d_hi
-    twohot = (
-        jax.nn.one_hot(lo, n) * (d_hi / span)[..., None] +
-        jax.nn.one_hot(hi, n) * (d_lo / span)[..., None])
-    return -(twohot * jax.nn.log_softmax(self.logits, -1)).sum(-1)
+    return -(self._encode(target) * jax.nn.log_softmax(self.logits, -1)).sum(-1)
+
+  def _encode(self, target):
+    """Two-hot encode: split unit mass between the bracketing bins."""
+    target = sg(self._squash(_as_float(target)))
+    count = len(self.bins)
+    # searchsorted gives the right bracket; clipping collapses out-of-range
+    # targets onto the boundary bin (below == above there).
+    above = jnp.clip(
+        jnp.searchsorted(self.bins, target, side='right'), 0, count - 1)
+    below = jnp.clip(above - 1, 0, count - 1)
+    degenerate = below == above
+    dist_below = jnp.where(degenerate, 1, jnp.abs(self.bins[below] - target))
+    dist_above = jnp.where(degenerate, 1, jnp.abs(self.bins[above] - target))
+    total = dist_below + dist_above
+    weight_below = dist_above / total
+    weight_above = dist_below / total
+    return (
+        jax.nn.one_hot(below, count) * weight_below[..., None] +
+        jax.nn.one_hot(above, count) * weight_above[..., None])
 
 
 def symexp_bins(num):
   """Symmetric exponentially-spaced bins used by symexp_twohot heads."""
-  npsymexp = lambda x: np.sign(x) * np.expm1(np.abs(x))
-  if num % 2 == 1:
-    half = npsymexp(np.linspace(-20, 0, (num - 1) // 2 + 1, dtype=np.float32))
-    return np.concatenate([half, -half[:-1][::-1]], 0).astype(np.float32)
-  half = npsymexp(np.linspace(-20, 0, num // 2, dtype=np.float32))
-  return np.concatenate([half, -half[::-1]], 0).astype(np.float32)
+  expand = lambda x: np.sign(x) * np.expm1(np.abs(x))
+  if num % 2:
+    neg = expand(np.linspace(-20, 0, (num - 1) // 2 + 1, dtype=np.float32))
+    return np.concatenate([neg, -neg[:-1][::-1]], 0).astype(np.float32)
+  neg = expand(np.linspace(-20, 0, num // 2, dtype=np.float32))
+  return np.concatenate([neg, -neg[::-1]], 0).astype(np.float32)
+
+
+# The regression outputs historically exposed `.mean`; keep the attribute
+# for callers that introspect it.
+MSE.mean = property(lambda self: self._mean)
+Huber.mean = property(lambda self: self._mean)
