@@ -19,6 +19,7 @@ from ...nn import dists
 from ...utils import Space, tree
 from ..dreamerv3 import rssm
 from ..dreamerv3.model import lambda_return
+from . import expl
 
 f32 = jnp.float32
 sg = jax.lax.stop_gradient
@@ -192,9 +193,40 @@ class Model:
     scales.update({k: rec for k in spaces})
     self.scales = scales
 
+    # Exploration stack (parity: /root/reference/director/expl.py and
+    # behaviors.py): a disagreement ensemble feeding either the worker's
+    # expl reward stream or a dedicated flat Explore behavior, plus a
+    # Random behavior; all selected by config.
+    self.expl_behavior = acfg.expl_behavior
+    self.expl_rew = acfg.expl_rew
+    assert self.expl_behavior in ('none', 'explore', 'random'), (
+        self.expl_behavior)
+    assert self.expl_rew in ('vae', 'disag'), self.expl_rew
+    self.disag = None
+    S, C = acfg.rssm.stoch, acfg.rssm.classes
+    if self.expl_rew == 'disag' or self.expl_behavior == 'explore':
+      self.disag = expl.Disag(
+          'disag', self.act_space, target_dim=S * C, **dict(acfg.disag))
+      self.disag_opt = nn.Optimizer(
+          ['disag'], 'disag_opt', **dict(acfg.expl_opt))
+    if self.expl_behavior == 'explore':
+      self.expl_ac = ActorCritic(
+          'expl', self.act_space, ('extr', 'disag'),
+          dict(acfg.expl_rewards), dict(accfg, actent=acfg.worker_actent),
+          inputs=('deter', 'stoch_flat'))
+      self.expl_ac_opt = nn.Optimizer(
+          ['expl/actor', 'expl/critic_extr', 'expl/critic_disag'],
+          'expl_ac_opt', **dict(acfg.ac_opt))
+    elif self.expl_behavior == 'random':
+      self.random_behavior = expl.RandomBehavior(self.act_space)
+
+  @property
+  def policy_modes(self):
+    return ('explore',) if self.expl_behavior != 'none' else ()
+
   @property
   def policy_keys(self):
-    return r'^(enc|dyn|goal_dec|manager|worker)/'
+    return r'^(enc|dyn|goal_dec|manager|worker|expl)/'
 
   @property
   def partition_rules(self):
@@ -270,8 +302,17 @@ class Model:
     dyn_carry, _, feat = self.dyn.observe(
         ctx, dyn_carry, tokens, prevact, reset, training=False, single=True)
     hier = nn.where(reset, jax.tree.map(jnp.zeros_like, hier), hier)
-    act, _, _, hier = self._hier_step(
-        ctx, feat, hier, ctx.rng(), self.acfg.env_skill_duration)
+    if mode == 'explore' and self.expl_behavior == 'explore':
+      wfeat = self._feat2tensor(feat)
+      dist = self.expl_ac.policy_dist(ctx, wfeat, bdims=1)
+      act = {k: v.sample(ctx.rng()) for k, v in dist.items()}
+    elif mode == 'explore' and self.expl_behavior == 'random':
+      act = self.random_behavior.policy(ctx, feat, ctx.rng())
+      act = {k: v.astype(self.act_space[k].dtype) if self.act_space[k].discrete
+             else v for k, v in act.items()}
+    else:
+      act, _, _, hier = self._hier_step(
+          ctx, feat, hier, ctx.rng(), self.acfg.env_skill_duration)
     out = {}
     if self.config.replay_context:
       out.update(tree.flatdict(dict(dyn=self.dyn.entry_pack(
@@ -311,6 +352,15 @@ class Model:
     metrics = {}
     for mets in (mets1, mets2, mets3, extra or {}):
       metrics.update(mets)
+    if self.disag is not None:
+      metrics.update(self.disag_opt(
+          ctx, self.disag_loss, repfeat, prevact))
+    if self.expl_behavior == 'explore':
+      emets, eextra = self.expl_ac_opt(
+          ctx, self.expl_loss, repfeat, has_aux=True)
+      self.expl_ac.update_slow(ctx)
+      metrics.update(emets)
+      metrics.update({f'expl_{k}': v for k, v in (eextra or {}).items()})
     outs = {}
     if self.config.replay_context:
       updates = tree.flatdict(dict(dyn=self.dyn.entry_pack(dyn_entries)))
@@ -359,6 +409,65 @@ class Model:
     kl = jnp.maximum(self.acfg.goal_kl_free, kl)
     return nn.f32((rec + self.acfg.goal_kl_scale * kl).mean())
 
+  def _observed_traj(self, repfeat, prevact):
+    """Trajectory view of a replay batch for the disagreement ensemble:
+    act_* holds the action taken AT each step (prevact shifted left)."""
+    acts_now = {
+        f'act_{k}': jnp.concatenate([v[:, 1:], v[:, -1:]], 1)
+        for k, v in prevact.items()}
+    return {
+        'deter': repfeat['deter'],
+        'stoch_flat': self._stoch_flat(repfeat),
+        **acts_now,
+    }
+
+  def disag_loss(self, ctx, repfeat, prevact):
+    traj = self._observed_traj(repfeat, prevact)
+    return nn.f32(self.disag.loss(ctx, traj))
+
+  def expl_loss(self, ctx, repfeat):
+    """Flat Explore behavior: imagination actor-critic on extrinsic +
+    disagreement rewards (parity: reference behaviors.py Explore)."""
+    B, T = repfeat['deter'].shape[:2]
+    H = self.imag_length
+    starts = {
+        'deter': repfeat['deter'].reshape((B * T, -1)),
+        'stoch': repfeat['stoch'].reshape(
+            (B * T, *repfeat['stoch'].shape[2:])),
+    }
+    starts = jax.tree.map(lambda x: sg(nn.cast(x)), starts)
+
+    def step(pctx, latent, key):
+      wfeat = self._feat2tensor_single(latent)
+      dist = self.expl_ac.policy_dist(ctx, wfeat, bdims=1)
+      act = {k: sg(v.sample(key)) for k, v in dist.items()}
+      latent2, (feat, _) = self.dyn.imagine_single(
+          self.dyn.sub(ctx), latent, act, key)
+      out = {
+          'deter': feat['deter'], 'stoch': feat['stoch'],
+          **{f'act_{k}': v for k, v in act.items()},
+      }
+      return latent2, out
+
+    keys = jax.random.split(ctx.rng(), H).T
+    _, traj = nn.scan(ctx, step, starts, keys, axis=1, length=H)
+    traj = dict(traj)
+    traj['stoch_flat'] = self._stoch_flat(traj)
+    inp = self._feat2tensor(traj)
+    traj['rew_extr'] = nn.f32(self.rew(ctx, inp, 2).pred())
+    traj['rew_disag'] = self.disag.reward(ctx, traj)
+    cont = nn.f32(self.con(ctx, inp, 2).prob(1))
+    losses, metrics = self.expl_ac.loss(ctx, traj, cont)
+    loss = sum(nn.f32(v).mean() for v in losses.values())
+    metrics.update({f'loss/expl_{k}': v.mean() for k, v in losses.items()})
+    return nn.f32(loss), metrics
+
+  def _feat2tensor_single(self, feat):
+    stoch = nn.cast(feat['stoch'])
+    return jnp.concatenate([
+        nn.cast(feat['deter']),
+        stoch.reshape((stoch.shape[0], -1))], -1)
+
   def hier_loss(self, ctx, repfeat, obs):
     """Imagination rollout under the hierarchy; worker + manager losses."""
     B, T = obs['is_first'].shape
@@ -403,14 +512,18 @@ class Model:
     norm = jnp.maximum(gnorm, fnorm)
     rew_goal = ((goal / norm) * (feat_deter / norm)).sum(-1)
 
-    # Exploration reward: goal-VAE reconstruction error (novelty signal).
-    flat = feat_deter.reshape((nstart * H, -1))
-    enc = self.goal_enc(ctx, nn.cast(sg(flat)), bdims=1)
-    dec = self.goal_dec(
-        ctx, nn.cast(enc.sample(ctx.rng()).reshape((nstart * H, -1))),
-        bdims=1)
-    rew_expl = nn.f32(jnp.square(dec.pred() - flat).mean(-1)).reshape(
-        (nstart, H))
+    if self.expl_rew == 'disag':
+      # Plan2Explore: disagreement of the one-step latent ensemble.
+      rew_expl = self.disag.reward(ctx, traj)
+    else:
+      # Goal-VAE reconstruction error (novelty signal).
+      flat = feat_deter.reshape((nstart * H, -1))
+      enc = self.goal_enc(ctx, nn.cast(sg(flat)), bdims=1)
+      dec = self.goal_dec(
+          ctx, nn.cast(enc.sample(ctx.rng()).reshape((nstart * H, -1))),
+          bdims=1)
+      rew_expl = nn.f32(jnp.square(dec.pred() - flat).mean(-1)).reshape(
+          (nstart, H))
 
     traj['rew_extr'] = rew_extr
     traj['rew_expl'] = rew_expl

@@ -30,6 +30,7 @@ def make_agent(config):
       expect_devices=jcfg.get('expect_devices', 0),
       coordinator_address=jcfg.get('coordinator_address', ''),
       deterministic=jcfg.get('deterministic', False),
+      transfer_guard=jcfg.get('transfer_guard', True),
   )
   model = Model(obs_space, act_space, acfg)
   return parallel.Agent(model, obs_space, act_space, acfg)

@@ -5,7 +5,9 @@ with reward/continue/policy/value heads, EMA slow value, return/value/adv
 normalizers, replay-context truncated-carry resume (stored latents), the
 imagination loss on `imag_length` rollouts from observed starts, the replay
 value loss bootstrapped from imagination returns, and open-loop video
-reports.
+reports. The world model is managed as a named module trio (enc/dyn/dec)
+so carry/entry plumbing is written once; actor-critic objectives live in
+`ac.py` (associative-scan lambda returns).
 """
 
 import jax
@@ -14,18 +16,28 @@ import numpy as np
 
 from ... import nn
 from ...utils import Space, tree
+from . import ac
 from . import rssm
 
 f32 = jnp.float32
-i32 = jnp.int32
 sg = lambda xs, skip=False: xs if skip else jax.lax.stop_gradient(xs)
-prefix_keys = lambda xs, p: {f'{p}/{k}': v for k, v in xs.items()}
 concat = lambda xs, a: jax.tree.map(lambda *x: jnp.concatenate(x, a), *xs)
 isimage = lambda s: s.dtype == np.uint8 and len(s.shape) == 3
+
+# Director imports the return computation from here historically.
+lambda_return = ac.lambda_return
+
+
+def _strip(cfg):
+  cfg = dict(cfg)
+  cfg.pop('output', None)
+  return cfg
 
 
 class Model:
   """DreamerV3 model implementing the parallel.Agent contract."""
+
+  WM = ('enc', 'dyn', 'dec')
 
   def __init__(self, obs_space, act_space, config):
     self.obs_space = obs_space
@@ -73,6 +85,18 @@ class Model:
     scales.update({k: rec for k in spaces})
     self.scales = scales
 
+  # --- World-model trio plumbing ------------------------------------------
+
+  def _wm(self, name):
+    return getattr(self, name)
+
+  def _entry_flat(self, entry_trio):
+    """Flatten per-module entries into replay-column format (packed)."""
+    packed = {
+        name: self._wm(name).entry_pack(entry)
+        for name, entry in zip(self.WM, entry_trio)}
+    return tree.flatdict(packed)
+
   @property
   def policy_keys(self):
     return r'^(enc|dyn|dec|pol)/'
@@ -92,34 +116,27 @@ class Model:
     packed replay-context latents; see parallel/latents.py)."""
     if not self.config.replay_context:
       return ()
-    return tuple(tree.flatdict(dict(
-        enc=self.enc.entry_space,
-        dyn=self.dyn.entry_space,
-        dec=self.dec.entry_space)))
+    return tuple(self._entry_space_flat())
+
+  def _entry_space_flat(self):
+    return tree.flatdict({
+        name: self._wm(name).entry_space for name in self.WM})
 
   @property
   def ext_space(self):
-    spaces = {}
-    spaces['consec'] = Space(np.int32)
-    spaces['stepid'] = Space(np.uint8, 20)
+    spaces = {'consec': Space(np.int32), 'stepid': Space(np.uint8, 20)}
     if self.config.replay_context:
       # entry_space is already the packed storage format (the latents
       # travel host<->device every step; see rssm.RSSM.entry_space).
-      spaces.update(tree.flatdict(dict(
-          enc=self.enc.entry_space,
-          dyn=self.dyn.entry_space,
-          dec=self.dec.entry_space)))
+      spaces.update(self._entry_space_flat())
     return spaces
 
   # --- Carries ------------------------------------------------------------
 
   def init_policy(self, ctx, batch_size):
     zeros = lambda s: jnp.zeros((batch_size, *s.shape), s.dtype)
-    return (
-        self.enc.initial(batch_size),
-        self.dyn.initial(batch_size),
-        self.dec.initial(batch_size),
-        {k: zeros(v) for k, v in self.act_space.items()})
+    trio = tuple(self._wm(n).initial(batch_size) for n in self.WM)
+    return (*trio, {k: zeros(v) for k, v in self.act_space.items()})
 
   def init_train(self, ctx, batch_size):
     return self.init_policy(ctx, batch_size)
@@ -144,19 +161,15 @@ class Model:
     act = {k: v.sample(ctx.rng()) for k, v in policy.items()}
     out = {}
     # Finite-ness screening, logged per episode (log/ keys bypass replay).
-    finite = tree.flatdict(jax.tree.map(
-        lambda x: jnp.isfinite(nn.f32(x)).all(
-            tuple(range(1, x.ndim))) if x.ndim > 1 else
-        jnp.isfinite(nn.f32(x)),
-        dict(tokens=tokens, act=act)))
+    screen = lambda x: (
+        jnp.isfinite(nn.f32(x)).all(tuple(range(1, x.ndim)))
+        if x.ndim > 1 else jnp.isfinite(nn.f32(x)))
+    finite = tree.flatdict(
+        jax.tree.map(screen, dict(tokens=tokens, act=act)))
     out.update({f'log/finite/{k}': v for k, v in finite.items()})
-    carry = (enc_carry, dyn_carry, dec_carry, act)
     if self.config.replay_context:
-      out.update(tree.flatdict(dict(
-          enc=self.enc.entry_pack(enc_entry),
-          dyn=self.dyn.entry_pack(dyn_entry),
-          dec=self.dec.entry_pack(dec_entry))))
-    return carry, act, out
+      out.update(self._entry_flat((enc_entry, dyn_entry, dec_entry)))
+    return (enc_carry, dyn_carry, dec_carry, act), act, out
 
   def _feat2tensor(self, feat):
     stoch = nn.cast(feat['stoch'])
@@ -167,40 +180,57 @@ class Model:
   # --- Training -----------------------------------------------------------
 
   def train(self, ctx, carry, data):
-    carry, obs, prevact, stepid = self._apply_replay_context(carry, data)
+    carry, obs, prevact, stepid = self._resume_window(carry, data)
     mets, (carry, entries, outs, extra_mets) = self.opt(
         ctx, self.loss, carry, obs, prevact, True, has_aux=True)
-    metrics = dict(mets)
-    metrics.update(extra_mets)
+    metrics = dict(mets, **extra_mets)
     self.slowval.update(ctx)
     outs = {}
     if self.config.replay_context:
-      updates = tree.flatdict(dict(
-          stepid=stepid,
-          enc=self.enc.entry_pack(entries[0]),
-          dyn=self.dyn.entry_pack(entries[1]),
-          dec=self.dec.entry_pack(entries[2])))
-      B, T = obs['is_first'].shape
-      assert all(x.shape[:2] == (B, T) for x in updates.values()), (
-          (B, T), {k: v.shape for k, v in updates.items()})
+      updates = dict(self._entry_flat(entries), stepid=stepid)
+      shape = obs['is_first'].shape[:2]
+      mismatched = {
+          k: v.shape for k, v in updates.items() if v.shape[:2] != shape}
+      assert not mismatched, (shape, mismatched)
       outs['replay'] = updates
-    carry = (*carry, {k: data[k][:, -1] for k in self.act_space})
-    return carry, outs, metrics
+    lastact = {k: data[k][:, -1] for k in self.act_space}
+    return (*carry, lastact), outs, metrics
 
   def loss(self, ctx, carry, obs, prevact, training):
+    losses, metrics, carry, entries, tokens, repfeat = (
+        self._world_model_objectives(ctx, carry, obs, prevact, training))
+    B, T = obs['is_first'].shape
+    badshape = {k: v.shape for k, v in losses.items() if v.shape != (B, T)}
+    assert not badshape, ((B, T), badshape)
+
+    imag_losses, img_out, imag_mets = self._imagination_objectives(
+        ctx, obs, repfeat, entries[1], carry[1], training)
+    losses.update(imag_losses)
+    metrics.update(imag_mets)
+
+    if self.acfg.repval_loss:
+      rv_losses, rv_mets = self._replay_value_objective(
+          ctx, obs, repfeat, img_out, training)
+      losses.update(rv_losses)
+      metrics.update({f'reploss/{k}': v for k, v in rv_mets.items()})
+
+    assert set(losses.keys()) == set(self.scales.keys()), (
+        sorted(losses.keys()), sorted(self.scales.keys()))
+    metrics.update({f'loss/{k}': v.mean() for k, v in losses.items()})
+    total = sum(nn.f32(v).mean() * self.scales[k] for k, v in losses.items())
+    outs = {'tokens': tokens, 'repfeat': repfeat, 'losses': losses}
+    return total, (carry, entries, outs, metrics)
+
+  def _world_model_objectives(self, ctx, carry, obs, prevact, training):
     enc_carry, dyn_carry, dec_carry = carry
     reset = obs['is_first']
-    B, T = reset.shape
-    losses = {}
-    metrics = {}
-
-    # World model.
+    losses, metrics = {}, {}
     enc_carry, enc_entries, tokens = self.enc(
         ctx, enc_carry, obs, reset, training)
-    dyn_carry, dyn_entries, los, repfeat, mets = self.dyn.loss(
+    dyn_carry, dyn_entries, dyn_losses, repfeat, dyn_mets = self.dyn.loss(
         ctx, dyn_carry, tokens, prevact, reset, training)
-    losses.update(los)
-    metrics.update(mets)
+    losses.update(dyn_losses)
+    metrics.update(dyn_mets)
     dec_carry, dec_entries, recons = self.dec(
         ctx, dec_carry, repfeat, reset, training)
     inp = sg(self._feat2tensor(repfeat), skip=self.acfg.reward_grad)
@@ -208,20 +238,23 @@ class Model:
     con = f32(~obs['is_terminal'])
     if self.acfg.contdisc:
       con *= 1 - 1 / self.acfg.horizon
-    losses['con'] = self.con(
-        ctx, self._feat2tensor(repfeat), 2).loss(con)
+    losses['con'] = self.con(ctx, self._feat2tensor(repfeat), 2).loss(con)
     for key, recon in recons.items():
-      space, value = self.obs_space[key], obs[key]
+      space = self.obs_space[key]
+      value = obs[key]
       assert value.dtype == space.dtype, (key, space, value.dtype)
       target = f32(value) / 255 if isimage(space) else value
       losses[key] = recon.loss(sg(target))
+    carry = (enc_carry, dyn_carry, dec_carry)
+    entries = (enc_entries, dyn_entries, dec_entries)
+    return losses, metrics, carry, entries, tokens, repfeat
 
-    shapes = {k: v.shape for k, v in losses.items()}
-    assert all(x == (B, T) for x in shapes.values()), ((B, T), shapes)
-
-    # Imagination rollouts from the last K observed latents.
+  def _imagination_objectives(
+      self, ctx, obs, repfeat, dyn_entries, dyn_carry, training):
+    B, T = obs['is_first'].shape
     K = min(self.acfg.imag_last or T, T)
     H = self.acfg.imag_length
+    # Roll imagination forward from the last K posterior states.
     starts = self.dyn.starts(dyn_entries, dyn_carry, K)
     policyfn = lambda feat, key: {
         k: v.sample(key)
@@ -237,7 +270,7 @@ class Model:
     assert all(x.shape[:2] == (B * K, H + 1)
                for x in jax.tree.leaves(imgfeat))
     inp = self._feat2tensor(imgfeat)
-    los, imgloss_out, mets = imag_loss(
+    losses, img_out, metrics = ac.imag_loss(
         ctx,
         imgact,
         self.rew(ctx, inp, 2).pred(),
@@ -250,44 +283,37 @@ class Model:
         contdisc=self.acfg.contdisc,
         horizon=self.acfg.horizon,
         **dict(self.acfg.imag_loss))
-    losses.update({k: v.mean(1).reshape((B, K)) for k, v in los.items()})
-    metrics.update(mets)
+    losses = {k: v.mean(1).reshape((B, K)) for k, v in losses.items()}
+    img_out['K'] = K
+    return losses, img_out, metrics
 
-    # Replay value loss bootstrapped from imagination returns.
-    if self.acfg.repval_loss:
-      feat = sg(repfeat, skip=self.acfg.repval_grad)
-      last, term, rew = [obs[k] for k in ('is_last', 'is_terminal', 'reward')]
-      boot = imgloss_out['ret'][:, 0].reshape(B, K)
-      feat, last, term, rew, boot = jax.tree.map(
-          lambda x: x[:, -K:], (feat, last, term, rew, boot))
-      inp = self._feat2tensor(feat)
-      los, _, mets = repl_loss(
-          ctx, last, term, rew, boot,
-          self.val(ctx, inp, 2),
-          self.slowval(ctx, inp, 2),
-          self.valnorm,
-          update=training,
-          horizon=self.acfg.horizon,
-          **dict(self.acfg.repl_loss))
-      losses.update(los)
-      metrics.update(prefix_keys(mets, 'reploss'))
-
-    assert set(losses.keys()) == set(self.scales.keys()), (
-        sorted(losses.keys()), sorted(self.scales.keys()))
-    metrics.update({f'loss/{k}': v.mean() for k, v in losses.items()})
-    loss = sum([nn.f32(v).mean() * self.scales[k] for k, v in losses.items()])
-
-    carry = (enc_carry, dyn_carry, dec_carry)
-    entries = (enc_entries, dyn_entries, dec_entries)
-    outs = {'tokens': tokens, 'repfeat': repfeat, 'losses': losses}
-    return loss, (carry, entries, outs, metrics)
+  def _replay_value_objective(self, ctx, obs, repfeat, img_out, training):
+    B, T = obs['is_first'].shape
+    K = img_out['K']
+    feat = sg(repfeat, skip=self.acfg.repval_grad)
+    columns = (
+        feat,
+        obs['is_last'], obs['is_terminal'], obs['reward'],
+        img_out['ret'][:, 0].reshape(B, K))
+    feat, last, term, rew, boot = jax.tree.map(
+        lambda x: x[:, -K:], columns)
+    inp = self._feat2tensor(feat)
+    losses, _, metrics = ac.repl_loss(
+        ctx, last, term, rew, boot,
+        self.val(ctx, inp, 2),
+        self.slowval(ctx, inp, 2),
+        self.valnorm,
+        update=training,
+        horizon=self.acfg.horizon,
+        **dict(self.acfg.repl_loss))
+    return losses, metrics
 
   # --- Report -------------------------------------------------------------
 
   def report(self, ctx, carry, data):
     if not self.acfg.report:
       return carry, {}
-    carry, obs, prevact, _ = self._apply_replay_context(carry, data)
+    carry, obs, prevact, _ = self._resume_window(carry, data)
     enc_carry, dyn_carry, dec_carry = carry
     B, T = obs['is_first'].shape
     RB = min(6, B)
@@ -315,176 +341,65 @@ class Model:
             jnp.square(nn.f32(g)).sum() for g in grads.values()))
         metrics[f'gradnorm/{key}'] = norm
 
-    # Open-loop predictions: observe the first half, imagine the second.
-    firsthalf = lambda xs: jax.tree.map(lambda x: x[:RB, :T // 2], xs)
-    secondhalf = lambda xs: jax.tree.map(lambda x: x[:RB, T // 2:], xs)
-    dyn_carry = jax.tree.map(lambda x: x[:RB], dyn_carry)
-    dec_carry = jax.tree.map(lambda x: x[:RB], dec_carry)
+    # Open-loop evaluation: posterior over the first half of the window,
+    # prior imagination over the second half, both decoded to pixels.
+    observed = lambda xs: jax.tree.map(lambda x: x[:RB, :T // 2], xs)
+    imagined = lambda xs: jax.tree.map(lambda x: x[:RB, T // 2:], xs)
+    dyn_carry, dec_carry = jax.tree.map(
+        lambda x: x[:RB], (dyn_carry, dec_carry))
     dyn_carry, _, obsfeat = self.dyn.observe(
-        ctx, dyn_carry, firsthalf(outs['tokens']), firsthalf(prevact),
-        firsthalf(obs['is_first']), training=False)
+        ctx, dyn_carry, observed(outs['tokens']), observed(prevact),
+        observed(obs['is_first']), training=False)
     _, imgfeat, _ = self.dyn.imagine(
-        ctx, dyn_carry, secondhalf(prevact), T - T // 2, training=False)
+        ctx, dyn_carry, imagined(prevact), T - T // 2, training=False)
     dec_carry, _, obsrecons = self.dec(
-        ctx, dec_carry, obsfeat, firsthalf(obs['is_first']), training=False)
+        ctx, dec_carry, obsfeat, observed(obs['is_first']), training=False)
     dec_carry, _, imgrecons = self.dec(
         ctx, dec_carry, imgfeat,
-        jnp.zeros_like(secondhalf(obs['is_first'])), training=False)
-
+        jnp.zeros_like(imagined(obs['is_first'])), training=False)
     for key in self.dec.imgkeys:
-      true = obs[key][:RB]
-      pred = jnp.concatenate(
-          [obsrecons[key].pred(), imgrecons[key].pred()], 1)
-      pred = jnp.clip(pred * 255, 0, 255).astype(jnp.uint8)
-      error = ((i32(pred) - i32(true) + 255) / 2).astype(np.uint8)
-      video = jnp.concatenate([true, pred, error], 2)
-      video = jnp.pad(video, [[0, 0], [0, 0], [2, 2], [2, 2], [0, 0]])
-      mask = jnp.zeros(video.shape, bool).at[:, :, 2:-2, 2:-2, :].set(True)
-      border = jnp.full((T, 3), jnp.array([0, 255, 0]), jnp.uint8)
-      border = border.at[T // 2:].set(jnp.array([255, 0, 0], jnp.uint8))
-      video = jnp.where(mask, video, border[None, :, None, None, :])
-      B2, T2, H2, W2, C2 = video.shape
-      grid = video.transpose((1, 2, 0, 3, 4)).reshape((T2, H2, B2 * W2, C2))
-      metrics[f'openloop/{key}'] = grid
+      metrics[f'openloop/{key}'] = ac.openloop_video(
+          obs[key][:RB], obsrecons[key].pred(), imgrecons[key].pred(),
+          split=T // 2)
 
-    carry = (*new_carry, {k: data[k][:, -1] for k in self.act_space})
-    return carry, metrics
+    lastact = {k: data[k][:, -1] for k in self.act_space}
+    return (*new_carry, lastact), metrics
 
   # --- Replay context -----------------------------------------------------
 
-  def _apply_replay_context(self, carry, data):
-    enc_carry, dyn_carry, dec_carry, prevact = carry
-    carry = (enc_carry, dyn_carry, dec_carry)
+  def _resume_window(self, carry, data):
+    """Split data into (carry, obs, prevact, stepid), resuming the carry
+    from stored latents on windows that start mid-episode."""
+    *wm_carry, prevact = carry
     stepid = data['stepid']
     obs = {k: data[k] for k in self.obs_space if k in data}
-    prepend = lambda x, y: jnp.concatenate([x[:, None], y[:, :-1]], 1)
-    prevact = {k: prepend(prevact[k], data[k]) for k in self.act_space}
-    if not self.config.replay_context:
-      return carry, obs, prevact, stepid
-
+    shift = lambda head, rest: jnp.concatenate(
+        [head[:, None], rest[:, :-1]], 1)
+    prevact = {k: shift(prevact[k], data[k]) for k in self.act_space}
     K = self.config.replay_context
-    nested = tree.nestdict(data)
-    entries = [nested.get(k, {}) for k in ('enc', 'dyn', 'dec')]
-    lhs = lambda xs: jax.tree.map(lambda x: x[:, :K], xs)
-    rhs = lambda xs: jax.tree.map(lambda x: x[:, K:], xs)
-    rep_carry = (
-        self.enc.truncate(lhs(entries[0]), enc_carry),
-        self.dyn.truncate(lhs(entries[1]), dyn_carry),
-        self.dec.truncate(lhs(entries[2]), dec_carry))
-    rep_obs = {k: rhs(data[k]) for k in self.obs_space if k in data}
-    rep_prevact = {k: data[k][:, K - 1: -1] for k in self.act_space}
-    rep_stepid = rhs(stepid)
+    if not K:
+      return tuple(wm_carry), obs, prevact, stepid
 
-    first_chunk = (data['consec'][:, 0] == 0)
-    carry, obs, prevact, stepid = jax.tree.map(
-        lambda normal, replay: nn.where(first_chunk, replay, normal),
-        (carry, rhs(obs), rhs(prevact), rhs(stepid)),
-        (rep_carry, rep_obs, rep_prevact, rep_stepid))
-    return carry, obs, prevact, stepid
+    # The first K steps of each sampled window carry stored latents; use
+    # them to rebuild a mid-episode carry instead of burning in.
+    nested = tree.nestdict(data)
+    context = lambda xs: jax.tree.map(lambda x: x[:, :K], xs)
+    window = lambda xs: jax.tree.map(lambda x: x[:, K:], xs)
+    resumed_carry = tuple(
+        self._wm(name).truncate(context(nested.get(name, {})), prior)
+        for name, prior in zip(self.WM, wm_carry))
+    resumed = (
+        resumed_carry,
+        {k: window(data[k]) for k in self.obs_space if k in data},
+        {k: data[k][:, K - 1: -1] for k in self.act_space},
+        window(stepid))
+    flowing = (tuple(wm_carry), window(obs), window(prevact), window(stepid))
+    # Windows that continue the previous sample keep the flowing carry;
+    # fresh windows graft the stored-latent carry.
+    fresh = (data['consec'][:, 0] == 0)
+    return jax.tree.map(
+        lambda flow, stored: nn.where(fresh, stored, flow),
+        flowing, resumed)
 
   def stream(self, st):
     return st
-
-
-def _strip(cfg):
-  cfg = dict(cfg)
-  cfg.pop('output', None)
-  return cfg
-
-
-def imag_loss(
-    ctx, act, rew, con, policy, value, slowvalue, retnorm, valnorm, advnorm,
-    update, contdisc=True, slowtar=False, horizon=333, lam=0.95,
-    actent=3e-4, slowreg=1.0):
-  losses = {}
-  metrics = {}
-
-  voffset, vscale = valnorm.stats(ctx)
-  val = value.pred() * vscale + voffset
-  slowval = slowvalue.pred() * vscale + voffset
-  tarval = slowval if slowtar else val
-  disc = 1 if contdisc else 1 - 1 / horizon
-  weight = jnp.cumprod(disc * con, 1) / disc
-  last = jnp.zeros_like(con)
-  term = 1 - con
-  ret = lambda_return(last, term, rew, tarval, tarval, disc, lam)
-
-  roffset, rscale = retnorm(ctx, ret, update)
-  adv = (ret - tarval[:, :-1]) / rscale
-  aoffset, ascale = advnorm(ctx, adv, update)
-  adv_normed = (adv - aoffset) / ascale
-  logpi = sum([v.logp(sg(act[k]))[:, :-1] for k, v in policy.items()])
-  ents = {k: v.entropy()[:, :-1] for k, v in policy.items()}
-  policy_loss = sg(weight[:, :-1]) * -(
-      logpi * sg(adv_normed) + actent * sum(ents.values()))
-  losses['policy'] = policy_loss
-
-  voffset, vscale = valnorm(ctx, ret, update)
-  tar_normed = (ret - voffset) / vscale
-  tar_padded = jnp.concatenate([tar_normed, 0 * tar_normed[:, -1:]], 1)
-  losses['value'] = sg(weight[:, :-1]) * (
-      value.loss(sg(tar_padded)) +
-      slowreg * value.loss(sg(slowvalue.pred())))[:, :-1]
-
-  ret_normed = (ret - roffset) / rscale
-  metrics['adv'] = adv.mean()
-  metrics['adv_std'] = adv.std()
-  metrics['adv_mag'] = jnp.abs(adv).mean()
-  metrics['rew'] = rew.mean()
-  metrics['con'] = con.mean()
-  metrics['ret'] = ret_normed.mean()
-  metrics['val'] = val.mean()
-  metrics['tar'] = tar_normed.mean()
-  metrics['weight'] = weight.mean()
-  metrics['slowval'] = slowval.mean()
-  metrics['ret_min'] = ret_normed.min()
-  metrics['ret_max'] = ret_normed.max()
-  metrics['ret_rate'] = (jnp.abs(ret_normed) >= 1.0).mean()
-  for k in act:
-    metrics[f'ent/{k}'] = ents[k].mean()
-    if hasattr(policy[k], 'minent'):
-      lo, hi = policy[k].minent, policy[k].maxent
-      metrics[f'rand/{k}'] = (ents[k].mean() - lo) / max(hi - lo, 1e-8)
-
-  outs = {'ret': ret}
-  return losses, outs, metrics
-
-
-def repl_loss(
-    ctx, last, term, rew, boot, value, slowvalue, valnorm, update=True,
-    slowreg=1.0, slowtar=False, horizon=333, lam=0.95):
-  losses = {}
-  voffset, vscale = valnorm.stats(ctx)
-  val = value.pred() * vscale + voffset
-  slowval = slowvalue.pred() * vscale + voffset
-  tarval = slowval if slowtar else val
-  disc = 1 - 1 / horizon
-  weight = f32(~last)
-  ret = lambda_return(last, term, rew, tarval, boot, disc, lam)
-
-  voffset, vscale = valnorm(ctx, ret, update)
-  ret_normed = (ret - voffset) / vscale
-  ret_padded = jnp.concatenate([ret_normed, 0 * ret_normed[:, -1:]], 1)
-  losses['repval'] = weight[:, :-1] * (
-      value.loss(sg(ret_padded)) +
-      slowreg * value.loss(sg(slowvalue.pred())))[:, :-1]
-  return losses, {'ret': ret}, {}
-
-
-def lambda_return(last, term, rew, val, boot, disc, lam):
-  """TD(lambda) return computed with a reverse lax.scan over time."""
-  shapes = {x.shape for x in (last, term, rew, val, boot)}
-  assert len(shapes) == 1, shapes
-  live = (1 - f32(term))[:, 1:] * disc
-  cont = (1 - f32(last))[:, 1:] * lam
-  interm = rew[:, 1:] + (1 - cont) * live * boot[:, 1:]
-
-  def step(carry, x):
-    interm_t, live_t, cont_t = x
-    carry = interm_t + live_t * cont_t * carry
-    return carry, carry
-
-  _, rets_rev = jax.lax.scan(
-      step, boot[:, -1],
-      (interm.T[::-1], live.T[::-1], cont.T[::-1]))
-  return rets_rev[::-1].T

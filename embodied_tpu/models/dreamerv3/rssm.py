@@ -64,7 +64,7 @@ class RSSM(nn.Module):
     assert deter % blocks == 0, (deter, blocks)
     assert latents in ('i8', 'f16', 'f32'), latents
     assert classes <= 256, (classes, 'uint8 stoch indices')
-    assert kernel in ('auto', 'off'), kernel
+    assert kernel in ('auto', 'fused', 'off'), kernel
     self.latents = latents
     self.kernel = kernel
     self.act_space = act_space
@@ -204,12 +204,24 @@ class RSSM(nn.Module):
     tokens, actfeat, reset, key = inputs
     deter, stoch, actfeat = nn.mask(
         (carry['deter'], carry['stoch'], actfeat), ~reset)
-    deter = self._core(p, deter, stoch, actfeat, kernel=kernel)
-    tokens = tokens.reshape((*deter.shape[:-1], -1))
-    x = tokens if self.absolute else jnp.concatenate([deter, tokens], -1)
-    for linear, norm in self.obs_layers:
-      x = self.actfn(norm(p, linear(p, x)))
-    logit = self._logit(self.obs_logit, p, x)
+    if kernel and self._obs_kernel_eligible(p):
+      # Single launch for the whole step's matmul work (core + posterior
+      # head); only sampling stays outside (ops/observe.py).
+      from ...ops import observe as observelib
+      toks = nn.cast(tokens.reshape((deter.shape[0], -1)))
+      stoch_flat = nn.cast(stoch.reshape((stoch.shape[0], -1)))
+      deter, logitflat = observelib.obs_step(
+          nn.cast(deter), stoch_flat, nn.cast(actfeat), toks,
+          self._obs_params(p, toks.shape[-1]), True)
+      logit = logitflat.reshape(
+          (*logitflat.shape[:-1], self.stoch, self.classes))
+    else:
+      deter = self._core(p, deter, stoch, actfeat, kernel=kernel)
+      tokens = tokens.reshape((*deter.shape[:-1], -1))
+      x = tokens if self.absolute else jnp.concatenate([deter, tokens], -1)
+      for linear, norm in self.obs_layers:
+        x = self.actfn(norm(p, linear(p, x)))
+      logit = self._logit(self.obs_logit, p, x)
     stoch = nn.cast(self._dist(logit).sample(key))
     carry = dict(deter=deter, stoch=stoch)
     feat = dict(deter=deter, stoch=stoch, logit=logit)
@@ -278,7 +290,7 @@ class RSSM(nn.Module):
   def _kernel_eligible(self, p):
     """Whether the fused Pallas core step applies: TPU, default layer
     stack, rms/silu math, and weights that fit the VMEM budget."""
-    if self.kernel != 'auto' or p.create:
+    if self.kernel not in ('auto', 'fused') or p.create:
       return False
     if self.dynlayers != 1 or self.norm != 'rms' or self.act != 'silu':
       return False
@@ -287,9 +299,33 @@ class RSSM(nn.Module):
       return False
     D, H, g = self.deter, self.hidden, self.blocks
     S = self.stoch * self.classes
+    if (D // g) % 128:
+      # The kernel slices the deter lane dimension in D/g-wide blocks;
+      # Mosaic requires lane offsets aligned to the 128-lane tile, so
+      # narrower blocks (small presets like size1m: 512/8=64) take the
+      # XLA path instead of failing to compile.
+      return False
     weight_bytes = 2 * (D * H + S * H + D * (D // g) + 3 * H * D +
                         3 * D * (D // g))
     return weight_bytes <= 12 * 1024 * 1024
+
+  def _obs_kernel_eligible(self, p):
+    """Whether the wider fused observe step (core + posterior head,
+    ops/observe.py) applies. Opt-in via dyn.rssm.kernel: fused."""
+    return (self.kernel == 'fused' and not self.absolute and
+            len(self.obs_layers) == 1 and self._kernel_eligible(p))
+
+  def _obs_params(self, p, token_dim):
+    D, H = self.deter, self.hidden
+    L = self.stoch * self.classes
+    par = lambda mod, name, shape: p(mod).param(name, shape, 0.0)
+    return self._core_params(p) + (
+        nn.cast(par('obs0', 'kernel', (D + token_dim, H))),
+        nn.cast(par('obs0', 'bias', (H,))),
+        par('obs0norm', 'scale', (H,)),
+        nn.cast(par('obslogit', 'kernel', (H, L))),
+        nn.cast(par('obslogit', 'bias', (L,))),
+    )
 
   def _core_params(self, p):
     """Fetch the core weights (cast to compute dtype, norm scales f32) in

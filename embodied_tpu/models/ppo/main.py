@@ -36,6 +36,7 @@ def _jax_setup_kwargs(config):
       expect_devices=jcfg.get('expect_devices', 0),
       coordinator_address=jcfg.get('coordinator_address', ''),
       deterministic=jcfg.get('deterministic', False),
+      transfer_guard=jcfg.get('transfer_guard', True),
   )
 
 

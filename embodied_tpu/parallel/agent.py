@@ -138,6 +138,8 @@ class Agent(corelib.Agent):
     # store, so no policy call may hold the old buffers mid-donation
     # (mirrors the reference's policy/train locks, jax/agent.py:157-158).
     self._device_lock = threading.Lock()
+    self._base_key_cache = None
+    self._base_key()  # Materialize eagerly, before any tracing.
     self._init_store()
     self._build_fns()
     if getattr(jaxcfg, 'precompile', False):
@@ -190,7 +192,17 @@ class Agent(corelib.Agent):
   # --- Init ---------------------------------------------------------------
 
   def _base_key(self):
-    return jax.random.PRNGKey(self.seed)
+    # Kept as host numpy: the jitted functions close over this key, and a
+    # device-resident constant would need an implicit device-to-host read
+    # at lowering time (which the transfer guard rightly rejects). Cached
+    # eagerly because this is also reached from inside traces, where the
+    # PRNGKey would be a tracer.
+    cached = getattr(self, '_base_key_cache', None)
+    if cached is None:
+      with jax.transfer_guard('allow'):
+        cached = np.asarray(jax.device_get(jax.random.PRNGKey(self.seed)))
+      self._base_key_cache = cached
+    return cached
 
   def _init_store(self):
     import zlib
@@ -248,7 +260,8 @@ class Agent(corelib.Agent):
       return store
 
     with timer.section('agent_init_params'):
-      self.store = jax.jit(fastinit, out_shardings=self.shardings)(0)
+      self.store = jax.jit(fastinit, out_shardings=self.shardings)(
+          jax.device_put(np.uint32(0)))
     total = sum(
         v.size for k, v in self.store.items()
         if self.meta.get(k) == 'param')
@@ -439,16 +452,20 @@ class Agent(corelib.Agent):
     self._train_raw = trainfn
     self._train = jax.jit(
         smtrainfn if self.use_shardmap else trainfn, donate_argnums=(0, 2))
+    # Models can expose extra policy modes (e.g. Director's 'explore'
+    # behavior); each mode is a separate static branch -> executable.
+    modes = ('train', 'eval') + tuple(
+        getattr(model, 'policy_modes', ()) or ())
     self._policy = {
         mode: jax.jit(policyfn(mode), donate_argnums=(2,))
-        for mode in ('train', 'eval')}
+        for mode in modes}
     self._report = jax.jit(reportfn)
     if self._latents is not None:
       self._train_table = jax.jit(trainfn_table, donate_argnums=(0, 1, 3))
       self._report_table = jax.jit(reportfn_table)
       self._policy_table = {
           mode: jax.jit(policyfn_table(mode), donate_argnums=(1, 3))
-          for mode in ('train', 'eval')}
+          for mode in modes}
     self._init_fns = {
         mode: jax.jit(init_mode(mode), static_argnums=(1,))
         for mode in ('policy', 'train', 'report')}
@@ -517,7 +534,7 @@ class Agent(corelib.Agent):
         fn = self._policy_table.get(mode, self._policy_table['train'])
         tables, carry, act, out = fn(
             self.policy_store(), self._latents.tables,
-            self._counters['policy'], carry, obs,
+            self._seedctr(self._counters['policy']), carry, obs,
             extra['slot'], extra['slotgen'])
         self._latents.tables = tables
         act, out = jax.device_get((act, out))
@@ -525,7 +542,8 @@ class Agent(corelib.Agent):
       else:
         fn = self._policy.get(mode, self._policy['train'])
         carry, act, out = fn(
-            self.policy_store(), self._counters['policy'], carry, obs)
+            self.policy_store(), self._seedctr(self._counters['policy']),
+            carry, obs)
         act, out = jax.device_get((act, out))
     act = {k: np.asarray(v) for k, v in act.items()}
     out = {k: np.asarray(v) for k, v in out.items()}
@@ -552,11 +570,13 @@ class Agent(corelib.Agent):
         if use_table:
           (self.store, self._latents.tables, carry, outs,
            mets) = self._train_table(
-              self.store, self._latents.tables, self._counters['train'],
+              self.store, self._latents.tables,
+              self._seedctr(self._counters['train']),
               carry, data)
         else:
           self.store, carry, outs, mets = self._train(
-              self.store, self._counters['train'], carry, data)
+              self.store, self._seedctr(self._counters['train']),
+              carry, data)
       # Start device->host DMA for this step's outputs without blocking.
       self._start_fetch((outs, mets))
       queue = self._pending_train
@@ -580,17 +600,19 @@ class Agent(corelib.Agent):
       if self._latents is not None and 'slot' in data:
         carry, mets = self._report_table(
             dict(self.store), self._latents.tables,
-            self._counters['report'], carry, data)
+            self._seedctr(self._counters['report']), carry, data)
       else:
         carry, mets = self._report(
-            dict(self.store), self._counters['report'], carry, data)
+            dict(self.store), self._seedctr(self._counters['report']),
+            carry, data)
       return carry, self._fetch_local(mets)
 
   def stream(self, source):
     return streamlib.Prefetch(source, transform=self._device_batch, amount=2)
 
   def _start_fetch(self, tree):
-    """Begin async device->host DMA for every addressable shard."""
+    """Begin async device->host DMA for every addressable shard. This is
+    the sanctioned output-fetch crossing, so the guard is lifted."""
     def start(x):
       if isinstance(x, jax.Array):
         if x.is_fully_addressable:
@@ -599,7 +621,8 @@ class Agent(corelib.Agent):
           for shard in x.addressable_shards:
             shard.data.copy_to_host_async()
       return x
-    jax.tree.map(start, tree)
+    with jax.transfer_guard('allow'):
+      jax.tree.map(start, tree)
 
   def _fetch_local(self, tree):
     """device_get that works on multi-host arrays: values spanning
@@ -618,10 +641,23 @@ class Agent(corelib.Agent):
         return np.asarray(next(iter(pieces.values())))
       return np.concatenate(
           [np.asarray(pieces[k]) for k in sorted(pieces)], 0)
-    return jax.tree.map(get, tree)
+    # Shard reads are device->host transfers; this is a sanctioned
+    # crossing, so lift the transfer guard for its duration.
+    with jax.transfer_guard('allow'):
+      return jax.tree.map(get, tree)
+
+
+  def _seedctr(self, value):
+    """Counters ride to the device as explicit transfers so the implicit
+    transfer guard stays armed for accidental crossings."""
+    return jax.device_put(np.uint32(value))
 
   def _device_batch(self, data):
     out = {}
+    with jax.transfer_guard('allow'):
+      return self._device_batch_inner(data, out)
+
+  def _device_batch_inner(self, data, out):
     for k, v in data.items():
       batch = np.asarray(v).shape[0] if np.ndim(v) else 0
       # Hosts feed their LOCAL rows; the global batch is batch * nprocs.

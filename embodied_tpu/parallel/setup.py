@@ -36,7 +36,8 @@ def host_cache_dir(base='/tmp/jax_cache'):
 def setup(
     platform=None, compute_dtype='bfloat16', prealloc=True, jit=True,
     debug=False, mock_devices=0, expect_devices=0, coordinator_address='',
-    deterministic=False, cache_dir='auto', xla_flags=''):
+    deterministic=False, cache_dir='auto', xla_flags='',
+    transfer_guard=True):
   if _DONE[0]:
     import jax
     return jax.devices()
@@ -83,6 +84,11 @@ def setup(
     os.environ['XLA_FLAGS'] += ' --xla_gpu_deterministic_ops=true'
   if not jit:
     jax.config.update('jax_disable_jit', True)
+  if transfer_guard and jit and not debug:
+    # Implicit host<->device transfers raise; every legitimate crossing
+    # in the agent wrapper runs under an explicit jax.transfer_guard
+    # scope (parity: /root/reference/embodied/jax/internal.py:37-38).
+    jax.config.update('jax_transfer_guard', 'disallow')
 
   if coordinator_address:
     jax.distributed.initialize(coordinator_address)
