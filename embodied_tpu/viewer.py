@@ -1,19 +1,93 @@
-"""Terminal metrics viewer for metrics.jsonl logs.
+"""Metrics viewer for metrics.jsonl / scores.jsonl logs.
 
-Capability parity: the `scope` satellite library's role (inspecting run
-metrics); this renders latest values and sparkline histories for selected
-metrics directly in the terminal.
+Capability parity: the `scope` satellite library's role in the reference
+ecosystem (/root/reference/dreamerv3/main.py:175 ScopeOutput) — inspecting
+run metrics and timer/profile summaries across multiple runs. Two
+frontends over one loader:
+
+- Terminal: latest values + sparkline histories, multi-run side by side,
+  timer-summary section, optional watch mode (`--watch N` re-renders).
+- Web (`--serve PORT`): a zero-dependency stdlib HTTP server with a
+  single-page dashboard — run selector, metric regex filter, SVG line
+  charts with shared axes across runs, auto-refresh.
 
 Usage:
-  python -m embodied_tpu.viewer ~/logdir/run1 [--filter score|loss]
+  python -m embodied_tpu.viewer ~/logdir            # all runs below root
+  python -m embodied_tpu.viewer ~/logdir --filter 'score|loss' --watch 5
+  python -m embodied_tpu.viewer ~/logdir --serve 6006
 """
 
 import argparse
 import json
 import os
 import re
+import time
 
 BARS = ' .:-=+*#%@'
+_FILES = ('metrics.jsonl', 'scores.jsonl')
+
+
+# --- Loading --------------------------------------------------------------
+
+
+def scan_runs(root):
+  """Find run directories (anything holding a metrics/scores jsonl)."""
+  root = os.path.expanduser(root)
+  runs = []
+  for dirpath, _, files in os.walk(root):
+    if any(f in files for f in _FILES):
+      runs.append(dirpath)
+  if not runs and any(
+      os.path.exists(os.path.join(root, f)) for f in _FILES):
+    runs = [root]
+  return sorted(runs)
+
+
+def load_series(rundir, pattern='.*'):
+  """{metric: (steps, values)} across all jsonl files of a run."""
+  regex = re.compile(pattern)
+  series = {}
+  for fname in _FILES:
+    path = os.path.join(rundir, fname)
+    if not os.path.exists(path):
+      continue
+    with open(path) as f:
+      for line in f:
+        line = line.strip()
+        if not line:
+          continue
+        try:
+          record = json.loads(line)
+        except json.JSONDecodeError:
+          continue
+        step = record.pop('step', None)
+        if step is None:
+          step = record.pop('xs', 0)
+        for key, value in record.items():
+          if not isinstance(value, (int, float)) or isinstance(value, bool):
+            continue
+          if not regex.search(key):
+            continue
+          xs, ys = series.setdefault(key, ([], []))
+          xs.append(float(step))
+          ys.append(float(value))
+  return series
+
+
+def downsample(xs, ys, limit=400):
+  """Bucket-average long series so charts stay light."""
+  if len(xs) <= limit:
+    return xs, ys
+  size = len(xs) / limit
+  oxs, oys = [], []
+  for i in range(limit):
+    lo, hi = int(i * size), max(int((i + 1) * size), int(i * size) + 1)
+    oxs.append(sum(xs[lo:hi]) / (hi - lo))
+    oys.append(sum(ys[lo:hi]) / (hi - lo))
+  return oxs, oys
+
+
+# --- Terminal frontend ----------------------------------------------------
 
 
 def sparkline(values, width=40):
@@ -22,8 +96,132 @@ def sparkline(values, width=40):
   values = values[-width:]
   lo, hi = min(values), max(values)
   span = (hi - lo) or 1.0
-  chars = [BARS[int((v - lo) / span * (len(BARS) - 1))] for v in values]
-  return ''.join(chars)
+  return ''.join(
+      BARS[int((v - lo) / span * (len(BARS) - 1))] for v in values)
+
+
+def render_terminal(runs, pattern, width=40):
+  lines = []
+  for rundir in runs:
+    series = load_series(rundir, pattern)
+    if not series:
+      continue
+    lines.append(f'== {rundir}')
+    timers = {k: v for k, v in series.items() if k.startswith('timer/')}
+    plain = {k: v for k, v in series.items() if not k.startswith('timer/')}
+    namelen = max(len(k) for k in series)
+    for key in sorted(plain):
+      xs, ys = plain[key]
+      lines.append(
+          f'{key:<{namelen}}  {ys[-1]:>12.4g}  '
+          f'{sparkline(ys, width)}  (n={len(ys)}, step={int(xs[-1])})')
+    if timers:
+      lines.append('-- timers (latest summary value)')
+      for key in sorted(timers):
+        xs, ys = timers[key]
+        lines.append(f'{key:<{namelen}}  {ys[-1]:>12.4g}')
+  return '\n'.join(lines) if lines else 'No matching metrics.'
+
+
+# --- Web frontend ---------------------------------------------------------
+
+
+def svg_path(xs, ys, w=560, h=120, pad=4):
+  """Polyline path for one series scaled into a w x h viewbox."""
+  if not xs:
+    return ''
+  lo_x, hi_x = min(xs), max(xs)
+  lo_y, hi_y = min(ys), max(ys)
+  sx = (w - 2 * pad) / ((hi_x - lo_x) or 1.0)
+  sy = (h - 2 * pad) / ((hi_y - lo_y) or 1.0)
+  points = []
+  for x, y in zip(xs, ys):
+    px = pad + (x - lo_x) * sx
+    py = h - pad - (y - lo_y) * sy
+    points.append(f'{px:.1f},{py:.1f}')
+  return 'M' + ' L'.join(points)
+
+
+_COLORS = ('#0022ff', '#33aa00', '#ff0011', '#ddaa00', '#cc44dd',
+           '#0088aa', '#001177', '#117700')
+
+_PAGE = """<!doctype html><html><head><title>embodied_tpu viewer</title>
+<style>
+body {{ font-family: monospace; margin: 16px; background: #fafafa; }}
+.chart {{ display: inline-block; margin: 8px; padding: 8px;
+         background: #fff; border: 1px solid #ddd; }}
+.chart h4 {{ margin: 2px 0 6px 0; font-size: 12px; }}
+.legend span {{ margin-right: 10px; font-size: 11px; }}
+form {{ margin-bottom: 12px; }}
+</style></head>
+<body>
+<form method="get">
+  filter <input name="filter" value="{filter}">
+  <input type="submit" value="apply">
+  <span>runs: {nruns} · auto-refresh 10s</span>
+</form>
+<div class="legend">{legend}</div>
+{charts}
+<script>setTimeout(() => location.reload(), 10000);</script>
+</body></html>"""
+
+
+def render_page(root, pattern):
+  runs = scan_runs(root)
+  byrun = [(r, load_series(r, pattern)) for r in runs]
+  keys = sorted({k for _, s in byrun for k in s})
+  legend = ''.join(
+      f'<span style="color:{_COLORS[i % len(_COLORS)]}">'
+      f'{os.path.basename(r) or r}</span>'
+      for i, (r, _) in enumerate(byrun))
+  charts = []
+  for key in keys:
+    paths = []
+    latest = ''
+    for i, (r, series) in enumerate(byrun):
+      if key not in series:
+        continue
+      xs, ys = downsample(*series[key])
+      color = _COLORS[i % len(_COLORS)]
+      paths.append(
+          f'<path d="{svg_path(xs, ys)}" fill="none" '
+          f'stroke="{color}" stroke-width="1.5"/>')
+      latest = f'{ys[-1]:.4g}'
+    charts.append(
+        f'<div class="chart"><h4>{key} · {latest}</h4>'
+        f'<svg width="560" height="120">{"".join(paths)}</svg></div>')
+  return _PAGE.format(
+      filter=pattern, nruns=len(runs), legend=legend,
+      charts=''.join(charts))
+
+
+def serve(root, port, pattern='.*'):
+  import http.server
+  import urllib.parse
+
+  class Handler(http.server.BaseHTTPRequestHandler):
+
+    def do_GET(self):
+      query = urllib.parse.urlparse(self.path).query
+      params = urllib.parse.parse_qs(query)
+      flt = params.get('filter', [pattern])[0] or '.*'
+      try:
+        body = render_page(root, flt).encode()
+        self.send_response(200)
+        self.send_header('Content-Type', 'text/html; charset=utf-8')
+      except Exception as e:
+        body = f'viewer error: {e}'.encode()
+        self.send_response(500)
+      self.send_header('Content-Length', str(len(body)))
+      self.end_headers()
+      self.wfile.write(body)
+
+    def log_message(self, *args):
+      pass
+
+  server = http.server.ThreadingHTTPServer(('', port), Handler)
+  print(f'Serving viewer on http://localhost:{port} (root: {root})')
+  server.serve_forever()
 
 
 def main():
@@ -31,37 +229,25 @@ def main():
   parser.add_argument('logdir')
   parser.add_argument('--filter', default='.*')
   parser.add_argument('--width', type=int, default=40)
+  parser.add_argument('--watch', type=float, default=0,
+                      help='re-render every N seconds')
+  parser.add_argument('--serve', type=int, default=0,
+                      help='serve the web dashboard on this port')
   args = parser.parse_args()
 
-  path = os.path.join(os.path.expanduser(args.logdir), 'metrics.jsonl')
-  if not os.path.exists(path):
-    print(f'No metrics.jsonl in {args.logdir}')
+  if args.serve:
+    serve(args.logdir, args.serve, args.filter)
     return
-  pattern = re.compile(args.filter)
-  series = {}
-  steps = {}
-  with open(path) as f:
-    for line in f:
-      line = line.strip()
-      if not line:
-        continue
-      record = json.loads(line)
-      step = record.pop('step', 0)
-      for key, value in record.items():
-        if not pattern.search(key):
-          continue
-        series.setdefault(key, []).append(float(value))
-        steps[key] = step
-
-  if not series:
-    print('No matching metrics.')
-    return
-  namelen = max(len(k) for k in series)
-  for key in sorted(series):
-    values = series[key]
-    print(f'{key:<{namelen}}  {values[-1]:>12.4g}  '
-          f'{sparkline(values, args.width)}  (n={len(values)}, '
-          f'step={steps[key]})')
+  while True:
+    runs = scan_runs(args.logdir)
+    if not runs:
+      print(f'No metrics found under {args.logdir}')
+    else:
+      print(render_terminal(runs, args.filter, args.width))
+    if not args.watch:
+      break
+    time.sleep(args.watch)
+    print('\033[2J\033[H', end='')
 
 
 if __name__ == '__main__':

@@ -26,7 +26,7 @@ run_with_retry() {
   done
 }
 
-run_with_retry 4500 runs/learn_r03/proprio.log \
+run_with_retry 3600 runs/learn_r03/proprio.log \
   python -m embodied_tpu.models.dreamerv3.main \
   --configs dmc_proprio \
   --task dmc_walker_walk \
@@ -36,7 +36,7 @@ run_with_retry 4500 runs/learn_r03/proprio.log \
 
 sleep 30
 
-run_with_retry 6000 runs/learn_r03/vision.log \
+run_with_retry 4800 runs/learn_r03/vision.log \
   python -m embodied_tpu.models.dreamerv3.main \
   --configs dmc_vision size12m \
   --task dmc_walker_walk \

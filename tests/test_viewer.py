@@ -1,0 +1,89 @@
+"""Viewer (scope-equivalent) tests: run discovery, loading, both frontends."""
+
+import json
+import threading
+import urllib.request
+
+from embodied_tpu import viewer
+
+
+def write_metrics(rundir, rows):
+  rundir.mkdir(parents=True, exist_ok=True)
+  with open(rundir / 'metrics.jsonl', 'w') as f:
+    for row in rows:
+      f.write(json.dumps(row) + '\n')
+
+
+def make_logdir(tmp_path):
+  for name, gain in (('runA', 1.0), ('runB', 2.0)):
+    write_metrics(tmp_path / name, [
+        {'step': s, 'train/loss': 10.0 - gain * s / 100,
+         'episode/score': gain * s, 'timer/agent': 0.5}
+        for s in range(0, 1000, 100)])
+  return tmp_path
+
+
+class TestViewer:
+
+  def test_scan_runs(self, tmp_path):
+    root = make_logdir(tmp_path)
+    runs = viewer.scan_runs(str(root))
+    assert len(runs) == 2
+
+  def test_load_series_filter(self, tmp_path):
+    root = make_logdir(tmp_path)
+    series = viewer.load_series(str(root / 'runA'), 'loss')
+    assert list(series) == ['train/loss']
+    xs, ys = series['train/loss']
+    assert len(xs) == 10 and ys[0] == 10.0
+
+  def test_terminal_render(self, tmp_path):
+    root = make_logdir(tmp_path)
+    out = viewer.render_terminal(viewer.scan_runs(str(root)), '.*')
+    assert 'runA' in out and 'runB' in out
+    assert 'episode/score' in out
+    assert 'timers' in out  # timer section present
+
+  def test_downsample(self):
+    xs = list(range(1000))
+    ys = [float(x) for x in xs]
+    oxs, oys = viewer.downsample(xs, ys, limit=100)
+    assert len(oxs) == 100
+    assert oys[0] < oys[-1]
+
+  def test_svg_path(self):
+    path = viewer.svg_path([0, 1, 2], [0.0, 1.0, 0.5])
+    assert path.startswith('M') and 'L' in path
+
+  def test_web_page_renders(self, tmp_path):
+    root = make_logdir(tmp_path)
+    page = viewer.render_page(str(root), 'score')
+    assert 'episode/score' in page and '<svg' in page
+    assert 'train/loss' not in page
+
+  def test_http_server(self, tmp_path):
+    import http.server
+    import urllib.parse
+    root = make_logdir(tmp_path)
+    # Build the handler inline (serve() blocks); reuse render_page.
+    class Handler(http.server.BaseHTTPRequestHandler):
+      def do_GET(self):
+        body = viewer.render_page(str(root), '.*').encode()
+        self.send_response(200)
+        self.send_header('Content-Length', str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+      def log_message(self, *args):
+        pass
+    server = http.server.ThreadingHTTPServer(('127.0.0.1', 0), Handler)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+      with urllib.request.urlopen(
+          f'http://127.0.0.1:{port}/', timeout=10) as resp:
+        html = resp.read().decode()
+      assert 'embodied_tpu viewer' in html
+      assert 'episode/score' in html
+    finally:
+      server.shutdown()
