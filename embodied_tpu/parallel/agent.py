@@ -523,6 +523,12 @@ class Agent(corelib.Agent):
         carry = jax.tree.map(lambda x: jax.device_put(x, target), carry)
       else:
         obs = self._device_batch(obs)
+        # Host-side carries (the parallel actor gathers/scatters them as
+        # numpy per env id) ride an explicit put; device carries pass
+        # through untouched.
+        carry = jax.tree.map(
+            lambda x: x if isinstance(x, jax.Array)
+            else jax.device_put(x, self.replicated), carry)
       self._counters['policy'] += 1
       if self._latents is not None:
         # Allocate slots host-side; the jitted step scatters the packed
