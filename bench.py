@@ -26,6 +26,8 @@ def main():
   parser.add_argument('--steps', type=int, default=60)
   parser.add_argument('--batch', type=int, default=16)
   parser.add_argument('--length', type=int, default=64)
+  parser.add_argument('--kernel', default='',
+                      help="override dyn.rssm.kernel: auto|fused|off")
   args = parser.parse_args()
 
   import numpy as np
@@ -45,6 +47,8 @@ def main():
       '--jax.mesh', '1,1,1',
       '--jax.precompile', 'False',
   ]
+  if args.kernel:
+    overrides += ['--agent.dyn.rssm.kernel', args.kernel]
   if args.quick:
     config = common.assemble_config(
         path, ['--configs', 'debug'] + overrides +
