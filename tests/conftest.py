@@ -21,8 +21,21 @@ if 'xla_force_host_platform_device_count' not in flags:
       flags + ' --xla_force_host_platform_device_count=8').strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_compilation_cache_dir', None)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(autouse=True)
+def _restore_transfer_guard():
+  """parallel/setup.py flips jax_transfer_guard to 'disallow' globally when
+  an agent initializes (the production default); without restoring it, any
+  test running after an agent-constructing test fails on ordinary
+  numpy->device transfers. Tests asserting guard behavior set it
+  themselves inside the test body."""
+  before = jax.config.jax_transfer_guard
+  yield
+  jax.config.update('jax_transfer_guard', before or 'allow')

@@ -35,9 +35,13 @@ def make_inputs(D=64, H=24, S=16, B=8, dtype=jnp.float32):
 
 class TestBlockGRU:
 
-  def test_kernel_matches_reference(self):
+  @pytest.mark.parametrize('B', [8, 192])
+  def test_kernel_matches_reference(self, B):
+    # B=192 maps to multiple grid chunks, covering the batch-chunked
+    # forward blocking (large-B launches would otherwise OOM scoped VMEM
+    # on real hardware).
     params = make_params(jax.random.PRNGKey(0))
-    deter, stoch, act = make_inputs()
+    deter, stoch, act = make_inputs(B=B)
     want = blockgru.reference_step(deter, stoch, act, params)
     got = blockgru.fused_core_step(deter, stoch, act, params,
                                    interpret=True)
@@ -153,9 +157,11 @@ def make_obs_inputs(D=64, H=24, S=16, B=8, K=32, dtype=jnp.float32):
 
 class TestObserveKernel:
 
-  def test_forward_matches_reference(self):
+  @pytest.mark.parametrize('B', [8, 192])
+  def test_forward_matches_reference(self, B):
+    # B=192 covers the batch-chunked grid of the fused forward.
     params = make_obs_params(jax.random.PRNGKey(0))
-    deter, stoch, act, tokens = make_obs_inputs()
+    deter, stoch, act, tokens = make_obs_inputs(B=B)
     want = observe.reference_obs_step(deter, stoch, act, tokens, params)
     got = observe.fused_obs_step(deter, stoch, act, tokens, params,
                                  interpret=True)
