@@ -131,15 +131,25 @@ def fused_core_step(deter, stoch_flat, actfeat, params, eps=1e-4,
   p = dict(zip(FIELDS, params))
   g = p['wblk'].shape[0]
   B, D = deter.shape
-  vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+  S = stoch_flat.shape[1]
+  A = actfeat.shape[1]
+  # Chunk batch rows over the grid: the f32 gate intermediates are
+  # 3*D*4 bytes/row, so a monolithic block OOMs scoped VMEM at the row
+  # counts the imagination path produces (B*K rows).
+  bk = _chunk(B)
+  row = lambda dim: pl.BlockSpec(
+      (bk, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
+  full = lambda arr: pl.BlockSpec(
+      arr.shape, (lambda i: (0,) * arr.ndim), memory_space=pltpu.VMEM)
   kernel = functools.partial(_kernel, g=g, eps=eps)
   weight_bytes = sum(
       np.prod(x.shape) * jnp.dtype(x.dtype).itemsize for x in params)
   return pl.pallas_call(
       kernel,
+      grid=(B // bk,),
       out_shape=jax.ShapeDtypeStruct((B, D), deter.dtype),
-      in_specs=[vmem() for _ in range(3 + len(FIELDS))],
-      out_specs=vmem(),
+      in_specs=([row(D), row(S), row(A)] + [full(p[k]) for k in FIELDS]),
+      out_specs=row(D),
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=int(weight_bytes + (1 << 24))),
       interpret=interpret,

@@ -102,16 +102,28 @@ def fused_obs_step(deter, stoch_flat, actfeat, tokens, params, eps=1e-4,
   g = p['wblk'].shape[0]
   B, D = deter.shape
   L = p['bl'].shape[0]
-  vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+  S = stoch_flat.shape[1]
+  A = actfeat.shape[1]
+  K = tokens.shape[1]
+  # Chunk the batch rows over the grid: the f32 gate intermediates alone
+  # are 3*D*4 bytes/row, so a monolithic block OOMs scoped VMEM for the
+  # large row counts the imagination path produces (B*K rows).
+  bk = blockgru._chunk(B)
+  row = lambda dim: pl.BlockSpec(
+      (bk, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
+  full = lambda arr: pl.BlockSpec(
+      arr.shape, (lambda i: (0,) * arr.ndim), memory_space=pltpu.VMEM)
   kernel = functools.partial(_obs_kernel, g=g, eps=eps)
   weight_bytes = sum(
       int(np.prod(x.shape)) * jnp.dtype(x.dtype).itemsize for x in params)
   return pl.pallas_call(
       kernel,
+      grid=(B // bk,),
       out_shape=(jax.ShapeDtypeStruct((B, D), deter.dtype),
                  jax.ShapeDtypeStruct((B, L), deter.dtype)),
-      in_specs=[vmem() for _ in range(4 + len(FIELDS))],
-      out_specs=(vmem(), vmem()),
+      in_specs=([row(D), row(S), row(A), row(K)] +
+                [full(p[k]) for k in FIELDS]),
+      out_specs=(row(D), row(L)),
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=int(weight_bytes + (1 << 24))),
       interpret=interpret,

@@ -29,28 +29,32 @@ L = S * C
 dtype = jnp.bfloat16
 
 
-def make(key):
-  ks = jax.random.split(key, 8)
+def make(seed):
+  # Host-side numpy generation + one device_put per array: eager jax.random
+  # through the tunnel's remote-compile helper costs minutes per new shape.
+  rng = np.random.default_rng(seed)
   dg = D // g
-  init = lambda k, shape: (0.05 * jax.random.normal(k, shape, jnp.float32)
-                           ).astype(dtype)
+  import ml_dtypes
+  np_dt = {jnp.bfloat16: ml_dtypes.bfloat16,
+           jnp.float32: np.float32}
+  # Cast in numpy, device_put raw bytes: an on-device cast is an eager op
+  # and every distinct shape is a ~30s remote compile through the tunnel.
+  put = lambda x, dt=dtype: jax.device_put(np.asarray(x, np_dt[dt]))
+  init = lambda shape: put(0.05 * rng.standard_normal(shape))
   params = (
-      init(ks[0], (D, H)), jnp.zeros((H,), dtype), jnp.ones((H,), jnp.float32),
-      init(ks[1], (S * C, H)), jnp.zeros((H,), dtype),
-      jnp.ones((H,), jnp.float32),
-      init(ks[2], (g, dg, dg)), jnp.zeros((D,), dtype),
-      init(ks[3], (3 * H, D)), jnp.ones((D,), jnp.float32),
-      init(ks[4], (g, dg, 3 * dg)), jnp.zeros((3 * D,), dtype),
-      init(ks[5], (D + K, H)), jnp.zeros((H,), dtype),
-      jnp.ones((H,), jnp.float32),
-      init(ks[6], (H, L)), jnp.zeros((L,), dtype),
+      init((D, H)), put(np.zeros(H)), put(np.ones(H), jnp.float32),
+      init((S * C, H)), put(np.zeros(H)), put(np.ones(H), jnp.float32),
+      init((g, dg, dg)), put(np.zeros(D)),
+      init((3 * H, D)), put(np.ones(D), jnp.float32),
+      init((g, dg, 3 * dg)), put(np.zeros(3 * D)),
+      init((D + K, H)), put(np.zeros(H)), put(np.ones(H), jnp.float32),
+      init((H, L)), put(np.zeros(L)),
   )
-  deter = (0.5 * jax.random.normal(ks[7], (B, D), jnp.float32)).astype(dtype)
-  stoch = jax.nn.one_hot(
-      jax.random.randint(ks[7], (B, S), 0, C), C).reshape(B, S * C
-                                                          ).astype(dtype)
-  act = (0.5 * jax.random.normal(ks[6], (B, H), jnp.float32)).astype(dtype)
-  tok = (0.5 * jax.random.normal(ks[5], (B, K), jnp.float32)).astype(dtype)
+  deter = put(0.5 * rng.standard_normal((B, D)))
+  onehot = np.eye(C, dtype=np.float32)[rng.integers(0, C, (B, S))]
+  stoch = put(onehot.reshape(B, S * C))
+  act = put(0.5 * rng.standard_normal((B, H)))
+  tok = put(0.5 * rng.standard_normal((B, K)))
   return params, deter, stoch, act, tok
 
 
@@ -66,31 +70,44 @@ def bench(fn, *args, n=30):
 
 def main():
   print('device:', jax.devices()[0])
-  params, deter, stoch, act, tok = make(jax.random.PRNGKey(0))
+  params, deter, stoch, act, tok = make(0)
 
-  # 1. Forward parity.
-  ref = observe.reference_obs_step(deter, stoch, act, tok, params)
+  # 1. Forward parity. Everything rides jit: eager dispatch through the
+  # tunnel's remote-compile helper is minutes per op.
+  ref = jax.jit(observe.reference_obs_step)(deter, stoch, act, tok, params)
   got = observe.fused_obs_step(deter, stoch, act, tok, params)
   for name, a, b in zip(('deter', 'logit'), ref, got):
-    d = float(jnp.abs(jnp.float32(a) - jnp.float32(b)).max())
+    a32 = np.asarray(a, np.float32)
+    b32 = np.asarray(b, np.float32)
+    d = float(np.abs(a32 - b32).max())
     print(f'fwd {name} maxdiff {d:.4f}')
     assert d < 0.1, (name, d)
 
   # 2. Backward parity.
-  dout = jax.random.normal(jax.random.PRNGKey(1), (B, D), dtype)
-  dlogit = jax.random.normal(jax.random.PRNGKey(2), (B, L), dtype)
-  _, vjp = jax.vjp(observe.reference_obs_step, deter, stoch, act, tok,
-                   params)
-  want = vjp((dout, dlogit))
+  rng = np.random.default_rng(1)
+  import ml_dtypes
+  dout = jax.device_put(
+      np.asarray(rng.standard_normal((B, D)), ml_dtypes.bfloat16))
+  dlogit = jax.device_put(
+      np.asarray(rng.standard_normal((B, L)), ml_dtypes.bfloat16))
+
+  @jax.jit
+  def ref_vjp(deter, stoch, act, tok, params, dout, dlogit):
+    _, vjp = jax.vjp(observe.reference_obs_step, deter, stoch, act, tok,
+                     params)
+    return vjp((dout, dlogit))
+
+  want = ref_vjp(deter, stoch, act, tok, params, dout, dlogit)
   got = observe.fused_obs_bwd(deter, stoch, act, tok, params, dout, dlogit)
   flat_w = list(want[:4]) + list(want[4])
   flat_g = list(got[:4]) + list(got[4])
   names = ['ddeter', 'dstoch', 'dact', 'dtok'] + list(observe.FIELDS)
   worst = 0.0
   for name, a, b in zip(names, flat_w, flat_g):
-    a32, b32 = jnp.float32(a), jnp.float32(b)
-    scale = float(jnp.abs(a32).max()) or 1.0
-    d = float(jnp.abs(a32 - b32).max()) / scale
+    a32 = np.asarray(a, np.float32)
+    b32 = np.asarray(b, np.float32)
+    scale = float(np.abs(a32).max()) or 1.0
+    d = float(np.abs(a32 - b32).max()) / scale
     worst = max(worst, d)
     if d > 0.05:
       print(f'bwd {name} RELDIFF {d:.4f} (scale {scale:.3f})')
