@@ -311,8 +311,9 @@ class RSSM(nn.Module):
 
   def _obs_kernel_eligible(self, p):
     """Whether the wider fused observe step (core + posterior head,
-    ops/observe.py) applies. Opt-in via dyn.rssm.kernel: fused."""
-    return (self.kernel == 'fused' and not self.absolute and
+    ops/observe.py) applies. On by default under kernel: auto (validated
+    on-chip, ~3% whole-step win at size12m); kernel: off disables."""
+    return (self.kernel in ('auto', 'fused') and not self.absolute and
             len(self.obs_layers) == 1 and self._kernel_eligible(p))
 
   def _obs_params(self, p, token_dim):
