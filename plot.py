@@ -276,10 +276,14 @@ def render(runs, stats, outpath, cols=4):
       curves = np.stack([g['ys'] for g in group])
       with np.errstate(invalid='ignore'):
         mean = np.nanmean(curves, 0)
-      ax.plot(xs, mean, label=method)
+      # Bins with no episodes are NaN; drop them so curves stay connected
+      # (episodes arrive in bursts relative to the binning grid).
+      keep = ~np.isnan(mean) & ~np.isnan(xs)
+      ax.plot(xs[keep], mean[keep], label=method)
       if len(curves) > 1:
         std = np.nanstd(curves, 0)
-        ax.fill_between(xs, mean - std, mean + std, alpha=0.2)
+        ax.fill_between(xs[keep], (mean - std)[keep], (mean + std)[keep],
+                        alpha=0.2)
     ax.set_title(title)
     ax.legend(fontsize=7)
     index += 1
