@@ -255,50 +255,77 @@ class Replay:
     limiters.wait(
         lambda: len(self), f'Replay buffer {self.name} is empty')
     with self.rwlock.reading:
+      # Inserts (and with them evictions) also run under the read lock so
+      # they never block sampling; safety instead comes from segments
+      # being append-only: eviction merely unlinks them, so a pick
+      # SNAPSHOTS its segment objects up front (keeping the arrays alive
+      # via refcount) and is re-drawn if it went stale in between.
       picks = []
       fresh = 0
       if self.online and mode == 'train':
         while self.queue and len(picks) < batch:
           lane, start = self.queue.popleft()
-          if start >= self.frontier[lane]:
-            picks.append((lane, start))
+          snap = self._snapshot(lane, int(start))
+          if snap is not None:
+            picks.append(snap)
         fresh = len(picks)
-      need = batch - len(picks)
-      if need:
+      tries = 0
+      while len(picks) < batch:
+        need = batch - len(picks)
         if hasattr(self.sampler, 'sample_batch'):
           itemids = self.sampler.sample_batch(need)
         else:
           itemids = [self.sampler() for _ in range(need)]
-        cap = self._ring.shape[1]
         for itemid in itemids:
-          lane, start = self._ring[:, itemid % cap]
-          picks.append((int(lane), int(start)))
+          snap = self._resolve(itemid)
+          if snap is not None:
+            picks.append(snap)
+        tries += 1
+        assert tries < 100, 'replay sampling livelock: all picks stale'
       if mode == 'train':
         self.metrics['samples'] += batch
       data = self._gather(picks)
     return self._annotate(data, fresh)
 
+  def _resolve(self, itemid):
+    """Ring slot -> segment snapshot, or None if the item was evicted (or
+    the ring was swapped by a concurrent grow) between sampling its id and
+    reading its slot."""
+    ring = self._ring  # Local snapshot: modulus must match the buffer.
+    lane, start = ring[:, itemid % ring.shape[1]]
+    if itemid < self.item_head or ring is not self._ring:
+      return None
+    return self._snapshot(int(lane), int(start))
+
+  def _snapshot(self, lane, start):
+    """Pin the (<=2) segments covering [start, start+length), verifying
+    the window is still ahead of the lane's eviction frontier."""
+    segs = self.lanes.get(lane)
+    if segs is None or start < self.frontier.get(lane, 0):
+      return None
+    idx, off = divmod(start, self.segcap)
+    n0 = min(self.length, self.segcap - off)
+    a = segs.get(idx)
+    b = segs.get(idx + 1) if n0 < self.length else None
+    if a is None or (n0 < self.length and b is None):
+      return None
+    return (a, off, n0, b)
+
   def _gather(self, picks):
     """Assemble [B, length, ...] arrays; each pick copies <= 2 slices."""
     with timer.section('assemble_batch'):
-      first = self._segment_at(*picks[0])
+      first = picks[0][0]
       out = {
           k: np.empty((len(picks), self.length, *v.shape[1:]), v.dtype)
           for k, v in first.cols.items()}
       keys = list(out.keys())
-      L, cap = self.length, self.segcap
-      for n, (lane, start) in enumerate(picks):
-        idx, off = divmod(start, cap)
-        seg = self.lanes[lane][idx]
-        n0 = min(L, cap - off)
+      L = self.length
+      for n, (a, off, n0, b) in enumerate(picks):
         row = {k: out[k][n] for k in keys}
-        seg.read(off, off + n0, row, 0, keys)
+        a.read(off, off + n0, row, 0, keys)
         if n0 < L:
-          self.lanes[lane][idx + 1].read(0, L - n0, row, n0, keys)
+          b.read(0, L - n0, row, n0, keys)
       return out
-
-  def _segment_at(self, lane, start):
-    return self.lanes[lane][start // self.segcap]
 
   def _annotate(self, data, fresh):
     if 'is_first' in data:

@@ -238,3 +238,42 @@ class TestSelectors:
     first = sel()
     assert first == 0
     assert sel() == 1
+
+
+class TestReplayConcurrency:
+
+  def test_sample_during_constant_eviction(self):
+    # At capacity every add evicts; inserts/evictions run under the read
+    # lock so they interleave freely with sampling. The sample path must
+    # stay valid via its segment snapshots: windows are consecutive and
+    # ahead of the eviction frontier, never torn or crashing.
+    import threading
+    replay = Replay(length=8, capacity=64, chunksize=16)
+    for i in range(200):
+      replay.add(make_step(i))
+    stop = threading.Event()
+    errors = []
+
+    def writer():
+      i = 200
+      while not stop.is_set():
+        replay.add(make_step(i))
+        i += 1
+
+    def reader():
+      try:
+        for _ in range(300):
+          batch = replay.sample(4)
+          for row in batch['count']:
+            assert (np.diff(row) == 1).all(), row
+      except Exception as e:  # pragma: no cover - failure reporting
+        errors.append(e)
+      finally:
+        stop.set()
+
+    threads = [threading.Thread(target=writer),
+               threading.Thread(target=reader)]
+    [t.start() for t in threads]
+    [t.join(timeout=60) for t in threads]
+    stop.set()
+    assert not errors, errors[0]
