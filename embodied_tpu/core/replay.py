@@ -30,6 +30,7 @@ The design is different from the reference's uuid-linked chunk store:
   fresh lane — item counts follow from run lengths alone.
 """
 
+import sys
 import time
 from collections import defaultdict, deque
 from concurrent.futures import ThreadPoolExecutor
@@ -62,7 +63,13 @@ def unpackid(stepid):
 
 
 class Segment:
-  """Fixed-capacity columnar slab; columns materialize on first append."""
+  """Fixed-capacity columnar slab; columns materialize on first append.
+
+  Materialization draws from `pool` when possible: on microVM kernels a
+  page fault costs ~70us once the process RSS has grown, so faulting a
+  fresh 13MB image column costs 100-300ms — reusing an evicted segment's
+  columns makes steady-state inserts allocation- and fault-free. Stale
+  contents are harmless: readers only reach rows < count."""
 
   __slots__ = ('base', 'capacity', 'count', 'cols', 'saved_count')
 
@@ -79,14 +86,34 @@ class Segment:
       return 0
     return sum(v.nbytes for v in self.cols.values())
 
-  def append(self, step):
+  @staticmethod
+  def signature(step):
+    return tuple(sorted((k, v.shape, str(v.dtype)) for k, v in step.items()))
+
+  def append(self, step, pool=None):
     if self.cols is None:
-      self.cols = {
-          k: np.empty((self.capacity, *v.shape), v.dtype)
-          for k, v in step.items()}
+      reuse = pool.get(Segment.signature(step)) if pool is not None else None
+      if reuse is not None:
+        self.cols = reuse
+      else:
+        self.cols = {}
+        for k, v in step.items():
+          col = np.empty((self.capacity, *v.shape), v.dtype)
+          # Prefault in one pass rather than row by row over the
+          # segment's fill lifetime (first-touch dominates either way,
+          # but batching keeps it off the per-insert path's tail).
+          col.reshape(-1).view(np.uint8)[::4096] = 0
+          self.cols[k] = col
     for k, v in step.items():
       self.cols[k][self.count] = v
     self.count += 1
+
+  def recycle(self, pool):
+    if self.cols is not None and self.count > 0:
+      key = Segment.signature(
+          {k: v[0] for k, v in self.cols.items()})
+      pool.put(key, self.cols)
+      self.cols = None
 
   def read(self, lo, hi, out, at, keys):
     for k in keys:
@@ -96,6 +123,25 @@ class Segment:
     for k, v in values.items():
       if k in self.cols:
         self.cols[k][lo: lo + num] = v[offset: offset + num]
+
+
+class SlabPool:
+  """Bounded per-signature pool of retired segment column dicts."""
+
+  def __init__(self, limit=8):
+    self.limit = limit
+    self.slabs = defaultdict(deque)
+
+  def get(self, key):
+    try:
+      return self.slabs[key].popleft()
+    except IndexError:
+      return None
+
+  def put(self, key, cols):
+    q = self.slabs[key]
+    if len(q) < self.limit:
+      q.append(cols)
 
 
 class Replay:
@@ -126,6 +172,12 @@ class Replay:
     self.item_head = 0  # Oldest live itemid.
     self.item_tail = 0  # Next itemid.
     self._ring = np.zeros((2, 1024), np.int64)  # [lane; start] per slot.
+    self._slabs = SlabPool()
+    # Next-segment slabs materialize ahead of need on this thread: the
+    # pool's recycled slabs free ~capacity inserts AFTER the lane already
+    # needed its next segment, and fresh faults cost 100-300ms inline.
+    self._premaker = ThreadPoolExecutor(1, f'replay_premake_{name}')
+    self._premake_margin = max(16, self.segcap // 8)
 
     self.rwlock = RWLock()
     if online:
@@ -186,7 +238,9 @@ class Replay:
       seg = segs.get(idx)
       if seg is None:
         seg = segs[idx] = Segment(idx * self.segcap, self.segcap)
-      seg.append(step)
+      seg.append(step, self._slabs)
+      if seg.count == self.segcap - self._premake_margin:
+        self._premaker.submit(self._premake, lane, idx + 1, dict(step))
       self.ends[lane] = pos + 1
       start = pos + 1 - self.length
       if start >= 0:
@@ -198,6 +252,17 @@ class Replay:
           self.queue.append((lane, start))
       if self.online:
         self.online_counts[lane] += 1
+
+  def _premake(self, lane, idx, step):
+    """Materialize segment `idx` of `lane` ahead of its first append.
+    Runs on the premake thread; installing into the lane dict is
+    GIL-atomic and add() falls back to inline creation if it wins."""
+    seg = Segment(idx * self.segcap, self.segcap)
+    seg.append(step, self._slabs)
+    seg.count = 0  # The probe row only materialized the columns.
+    segs = self.lanes.get(lane)
+    if segs is not None and idx not in segs:
+      segs[idx] = seg
 
   def _new_lane(self):
     lane = self.nlanes
@@ -244,6 +309,12 @@ class Replay:
       seg = segs[idx]
       if self.frontier[lane] >= seg.base + seg.capacity:
         del segs[idx]
+        # Recycle the slab only if nothing else holds the segment (a
+        # sample snapshot or an async shard write would): with the dict
+        # entry gone no new reference can appear, so an exclusive
+        # refcount here proves reuse cannot tear a concurrent read.
+        if sys.getrefcount(seg) == 2:  # `seg` local + getrefcount arg.
+          seg.recycle(self._slabs)
       else:
         break
 
@@ -507,7 +578,7 @@ class Replay:
         seg = segs.get(idx)
         if seg is None:
           seg = segs[idx] = Segment(idx * self.segcap, self.segcap)
-        seg.append(step)
+        seg.append(step, self._slabs)
         self.ends[lane] = pos + 1
         start = pos + 1 - self.length
         if start >= 0:
