@@ -83,7 +83,14 @@ class Space:
     if self._dtype == bool:
       return np.full(self._shape, 2, np.int64)
     if np.issubdtype(self._dtype, np.integer):
-      return np.broadcast_to(np.iinfo(self._dtype).max, self._shape).copy()
+      # Discrete highs are exclusive, so the inferred full-dtype range
+      # must be max+1 — otherwise a saturated uint8 image pixel (255)
+      # fails validation. Stored as int64 (may not fit the dtype itself);
+      # 64-bit dtypes stay at max to avoid overflowing the bound.
+      hi = np.iinfo(self._dtype).max
+      if hi < np.iinfo(np.int64).max:
+        hi += 1
+      return np.broadcast_to(hi, self._shape).copy()
     return np.full(self._shape, np.inf)
 
   def __repr__(self):

@@ -221,3 +221,14 @@ class TestLimiters:
     # An insert unblocks sampling again.
     limiter.insert()
     assert limiter.want_sample()[0]
+
+
+def test_space_saturated_integer_obs():
+  # Inferred integer bounds are exclusive-high = iinfo.max + 1: a
+  # saturated uint8 image pixel (255) is a valid observation (this
+  # crashed dmc_vision runs on bright frames).
+  import numpy as np
+  from embodied_tpu.utils import Space
+  space = Space(np.uint8, (2, 2, 3))
+  assert space.contains(np.full((2, 2, 3), 255, np.uint8))
+  assert space.classes == 256
