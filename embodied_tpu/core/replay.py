@@ -255,14 +255,18 @@ class Replay:
 
   def _premake(self, lane, idx, step):
     """Materialize segment `idx` of `lane` ahead of its first append.
-    Runs on the premake thread; installing into the lane dict is
-    GIL-atomic and add() falls back to inline creation if it wins."""
+    Runs on the premake thread; installing into the lane dict must be a
+    single GIL-atomic setdefault — a separate membership check could
+    interleave with the insert thread creating (and appending rows to)
+    the same segment, and overwriting it would drop those rows."""
     seg = Segment(idx * self.segcap, self.segcap)
     seg.append(step, self._slabs)
     seg.count = 0  # The probe row only materialized the columns.
     segs = self.lanes.get(lane)
-    if segs is not None and idx not in segs:
-      segs[idx] = seg
+    if segs is None or segs.setdefault(idx, seg) is not seg:
+      # Lost the race against an inline creation in add(); hand the
+      # premade columns back to the pool rather than leaking them.
+      self._slabs.put(Segment.signature(step), seg.cols)
 
   def _new_lane(self):
     lane = self.nlanes

@@ -439,7 +439,6 @@ class Minecraft:
     self._sticky = StickyController(sticky_attack=sticky_attack)
     self._inventory = {}
     self._max_y = None
-    self._health = HealthReward()
     self._step_count = 0
     self._done = True
 
@@ -484,7 +483,14 @@ class Minecraft:
       self._max_y = None
       self._step_count = 0
       self._done = False
-      self._inventory = {}
+      self._inventory = {
+          k: int(np.asarray(v)) for k, v in obs.get('inventory', {}).items()}
+      # Reset per-episode reward-fn state (milestone maxima, repeat caps,
+      # health baseline) against the post-respawn inventory/health, since
+      # later per-step views always carry is_first=False.
+      view = {'is_first': True, 'health': self._health_of(obs)}
+      for fn in self._rewards:
+        fn(view, self._inventory)
       return self._obs(obs, 0.0, is_first=True)
     raw = self._translate(action)
     obs, _, done, _ = self._env.step(self._to_gym_action(raw))

@@ -346,11 +346,13 @@ class TwoHot(Dist):
     """Two-hot encode: split unit mass between the bracketing bins."""
     target = sg(self._squash(_as_float(target)))
     count = len(self.bins)
-    # searchsorted gives the right bracket; clipping collapses out-of-range
-    # targets onto the boundary bin (below == above there).
-    above = jnp.clip(
-        jnp.searchsorted(self.bins, target, side='right'), 0, count - 1)
-    below = jnp.clip(above - 1, 0, count - 1)
+    # searchsorted gives the right bracket; clipping the *unclipped*
+    # bracket endpoints independently collapses out-of-range targets onto
+    # the boundary bin on both sides (below == above there), so a target
+    # past the top bin puts all mass on the top bin rather than splitting.
+    right = jnp.searchsorted(self.bins, target, side='right')
+    below = jnp.clip(right - 1, 0, count - 1)
+    above = jnp.clip(right, 0, count - 1)
     degenerate = below == above
     dist_below = jnp.where(degenerate, 1, jnp.abs(self.bins[below] - target))
     dist_above = jnp.where(degenerate, 1, jnp.abs(self.bins[above] - target))

@@ -158,3 +158,88 @@ class TestRewardMachinery:
     assert raw['camera'] == (0, 0)
     raw = ctl(dict(mc.NOOP, camera=(-15, 5)))  # down is fine
     assert raw['camera'] == (-15, 5)
+
+
+class _FakeActSpace:
+
+  def noop(self):
+    return dict(mc.NOOP)
+
+
+class _FakeMineRL:
+  """Minimal MineRLObtainDiamondShovel stand-in for step-path tests."""
+
+  def __init__(self):
+    self.action_space = _FakeActSpace()
+    self.inventory = {}
+
+  def _obs(self):
+    return {
+        'pov': np.zeros((64, 64, 3), np.uint8),
+        'inventory': dict(self.inventory),
+        'life_stats': {'life': 20.0},
+    }
+
+  def reset(self):
+    self.inventory = {}
+    return self._obs()
+
+  def step(self, action):
+    return self._obs(), 0.0, False, {}
+
+
+def _fake_minecraft(task='diamond', actions='flat'):
+  env = mc.Minecraft.__new__(mc.Minecraft)
+  env._task = task
+  env._mode = actions
+  env._env = _FakeMineRL()
+  env._size = (64, 64)
+  env._length = 100
+  env._logs = False
+  env._rewards = mc.task_rewards(task, actions)
+  env._sticky = mc.StickyController(sticky_attack=0)
+  env._inventory = {}
+  env._max_y = None
+  env._step_count = 0
+  env._done = True
+  return env
+
+
+class TestEpisodeRewardReset:
+  """Reward-fn state must reset on every episode boundary, not only at
+  construction: milestone 'once' rewards fire again in later episodes
+  and the health baseline re-anchors after respawn."""
+
+  def test_once_milestones_fire_each_episode(self):
+    env = _fake_minecraft('diamond', 'flat')
+    noop = {'reset': False, 'action': 0}
+
+    def run_episode():
+      env.step({'reset': True, 'action': 0})
+      env._env.inventory = {'log': 1}
+      obs = env.step(noop)
+      return float(obs['reward'])
+
+    first = run_episode()
+    second = run_episode()
+    assert first >= 1.0, first   # 'log' milestone once-reward
+    assert second == first, (first, second)
+
+  def test_keyboard_times_cap_resets_each_episode(self):
+    env = _fake_minecraft('diamond', 'keyboard')
+    noop = {k: np.zeros_like(v.sample())
+            for k, v in mc.keyboard_act_space().items()}
+    noop['reset'] = False
+
+    def collect_logs(n):
+      env.step({**noop, 'reset': True})
+      total = 0.0
+      for i in range(n):
+        env._env.inventory = {'oak_log': i + 1}
+        total += float(env.step(noop)['reward'])
+      return total
+
+    first = collect_logs(10)
+    second = collect_logs(10)
+    assert first > 0, first
+    assert second == first, (first, second)

@@ -165,6 +165,21 @@ class TestDists:
     assert loss.shape == (16,)
     assert np.isfinite(np.asarray(loss)).all()
 
+  def test_twohot_out_of_range_collapses_to_boundary_bin(self):
+    # Targets past either end must put ALL mass on the boundary bin, not
+    # split it between the top two (reference outs.py TwoHot semantics).
+    bins = np.linspace(-1.0, 1.0, 5).astype(np.float32)
+    logits = jnp.zeros((2, 5))
+    enc = dists.TwoHot(logits, bins)._encode(jnp.array([10.0, -10.0]))
+    enc = np.asarray(enc)
+    assert np.allclose(enc[0], [0, 0, 0, 0, 1]), enc[0]
+    assert np.allclose(enc[1], [1, 0, 0, 0, 0]), enc[1]
+    # In-range targets still interpolate between the bracketing bins.
+    enc = np.asarray(
+        dists.TwoHot(logits, bins)._encode(jnp.array([0.25, 0.5])))
+    assert np.allclose(enc[0], [0, 0, 0.5, 0.5, 0]), enc[0]
+    assert np.allclose(enc[1], [0, 0, 0, 1, 0]), enc[1]
+
   def test_categorical_logp_entropy(self):
     logits = jnp.array([[0.0, 0.0, 0.0, 0.0]])
     dist = dists.Categorical(logits)
