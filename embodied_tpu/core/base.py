@@ -1,78 +1,72 @@
 """Framework contracts: Agent, Env, Stream.
 
-Capability parity: /root/reference/embodied/core/base.py:1-73. These are the
-stable interfaces every run protocol drives. Observations must contain
-is_first/is_last/is_terminal (and usually reward); keys prefixed 'log/'
-bypass the agent. Action spaces must contain a 'reset' key.
+Capability parity: /root/reference/embodied/core/base.py:1-73 (same public
+API so run protocols are interchangeable; expressed independently here).
+
+Conventions shared by every implementation:
+- Observations are dicts of arrays and must include the boolean episode
+  markers ``is_first``, ``is_last``, ``is_terminal``; most envs also emit
+  ``reward`` and an ``image``. Keys prefixed ``log/`` carry diagnostics
+  that flow to the logger but never reach the agent.
+- Action dicts always include a boolean ``reset`` key next to the actual
+  action keys.
+- Carries are opaque recurrent state threaded through policy/train/report;
+  each has its own ``init_*`` because batch sizes differ per role.
 """
 
 
+def _abstract(signature):
+  """Build a method that documents its contract when left unimplemented."""
+  def method(self, *args, **kwargs):
+    raise NotImplementedError(signature)
+  method.__doc__ = signature
+  return method
+
+
 class Agent:
+  """Trainable policy: the object every run protocol drives."""
 
   def __init__(self, obs_space, act_space, config):
     pass
 
-  def init_train(self, batch_size):
-    raise NotImplementedError('init_train(batch_size) -> carry')
+  init_policy = _abstract('init_policy(batch_size) -> carry')
+  init_train = _abstract('init_train(batch_size) -> carry')
+  init_report = _abstract('init_report(batch_size) -> carry')
 
-  def init_report(self, batch_size):
-    raise NotImplementedError('init_report(batch_size) -> carry')
+  policy = _abstract('policy(carry, obs, mode) -> carry, act, out')
+  train = _abstract('train(carry, data) -> carry, out, metrics')
+  report = _abstract('report(carry, data) -> carry, metrics')
 
-  def init_policy(self, batch_size):
-    raise NotImplementedError('init_policy(batch_size) -> carry')
+  # Wrap a data stream with agent-side transforms (device placement,
+  # seeding); identity for host-only agents.
+  stream = _abstract('stream(st) -> st')
 
-  def train(self, carry, data):
-    raise NotImplementedError('train(carry, data) -> carry, out, metrics')
-
-  def report(self, carry, data):
-    raise NotImplementedError('report(carry, data) -> carry, metrics')
-
-  def policy(self, carry, obs, mode='train'):
-    raise NotImplementedError('policy(carry, obs, mode) -> carry, act, out')
-
-  def stream(self, st):
-    raise NotImplementedError('stream(st) -> st')
-
-  def save(self):
-    raise NotImplementedError('save() -> data')
-
-  def load(self, data):
-    raise NotImplementedError('load(data) -> None')
+  save = _abstract('save() -> data')
+  load = _abstract('load(data) -> None')
 
 
 class Env:
+  """Batched-dict environment with explicit episode-boundary markers."""
 
-  def __repr__(self):
-    return (
-        f'{self.__class__.__name__}('
-        f'obs_space={self.obs_space}, '
-        f'act_space={self.act_space})')
+  obs_space = property(_abstract('obs_space -> {name: Space}'))
+  act_space = property(_abstract('act_space -> {name: Space}'))
 
-  @property
-  def obs_space(self):
-    raise NotImplementedError('Returns: dict of spaces')
-
-  @property
-  def act_space(self):
-    raise NotImplementedError('Returns: dict of spaces')
-
-  def step(self, action):
-    raise NotImplementedError('Returns: dict')
+  step = _abstract('step(action) -> obs')
 
   def close(self):
     pass
 
+  def __repr__(self):
+    name = type(self).__name__
+    return f'{name}(obs_space={self.obs_space}, act_space={self.act_space})'
+
 
 class Stream:
+  """Resumable iterator: a data pipeline whose cursor can be checkpointed."""
 
   def __iter__(self):
     return self
 
-  def __next__(self):
-    raise NotImplementedError
-
-  def save(self):
-    raise NotImplementedError
-
-  def load(self, state):
-    raise NotImplementedError
+  __next__ = _abstract('__next__() -> batch')
+  save = _abstract('save() -> state')
+  load = _abstract('load(state) -> None')
