@@ -237,14 +237,25 @@ def wrap_env(env, config):
 
 
 def make_stream(config, replay, mode):
+  length = config.batch_length if mode == 'train' else config.report_length
+  consec = config.consec_train if mode == 'train' else config.consec_report
+  # Validate the Consec window contract here, on the main thread, with the
+  # config knobs in the message — the alternative is an opaque shape assert
+  # deep inside a prefetch thread on the first sampled batch.
+  need = consec * length + config.replay_context
+  if replay.length < need:
+    raise ValueError(
+        f"Stream '{mode}' needs sampled windows of consec*length+context="
+        f"{consec}*{length}+{config.replay_context}={need} steps, but the "
+        f"replay it draws from stores sequences of {replay.length}. "
+        f"Decrease report_length/consec_report or increase "
+        f"batch_length/consec_train.")
   fn = bind(replay.sample, config.batch_size, mode)
   stream = streamlib.Stateless(fn)
   stream = streamlib.Consec(
       stream,
-      length=(config.batch_length if mode == 'train'
-              else config.report_length),
-      consec=(config.consec_train if mode == 'train'
-              else config.consec_report),
+      length=length,
+      consec=consec,
       prefix=config.replay_context,
       strict=(mode == 'train'),
       contiguous=True)
