@@ -30,7 +30,7 @@ def eval_only(make_agent, make_env, make_logger, args):
     logger.add(episodes.stats(), prefix='epstats')
     logger.add(usage.stats(), prefix='usage')
     logger.add({'fps/policy': policy_fps.result(),
-                'timer': timer.stats()['summary']})
+                **loop.timer_metrics()})
     logger.write()
 
   tasks = loop.Schedule().every(args.log_every, log)

@@ -116,6 +116,16 @@ class Reporter:
     return agg.result()
 
 
+def timer_metrics():
+  """One timer.stats() pass split for logging: the human-readable summary
+  under 'timer' plus numeric per-section series under 'timer/<sec>/...'
+  (frac/avg/total), which the viewer's profile view charts over time."""
+  stats = timer.stats()
+  out = {'timer': stats.pop('summary')}
+  out.update({f'timer/{k}': v for k, v in stats.items()})
+  return out
+
+
 class Schedule:
   """Named wall-clock tasks; poll() runs whichever are due."""
 

@@ -51,7 +51,7 @@ def pretrain(make_model, make_stream, make_logger, args):
       logger.add(report(), prefix='report')
     with timer.section('eval'):
       logger.add(evaluate(), prefix='eval')
-    logger.add({'timer': timer.stats()['summary']})
+    logger.add(loop.timer_metrics())
     logger.write()
 
   def do_log():

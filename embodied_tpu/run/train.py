@@ -60,7 +60,7 @@ def train(make_agent, make_replay, make_env, make_stream, make_logger, args):
     logger.add(usage.stats(), prefix='usage')
     logger.add({'fps/policy': policy_fps.result(),
                 'fps/train': learner.fps.result(),
-                'timer': timer.stats()['summary']})
+                **loop.timer_metrics()})
     logger.write()
 
   tasks = (loop.Schedule()

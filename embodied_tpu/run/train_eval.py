@@ -75,7 +75,7 @@ def train_eval(
     logger.add(usage.stats(), prefix='usage')
     logger.add({'fps/policy': policy_fps.result(),
                 'fps/train': learner.fps.result(),
-                'timer': timer.stats()['summary']})
+                **loop.timer_metrics()})
     logger.write()
 
   tasks = (loop.Schedule()

@@ -145,6 +145,79 @@ def svg_path(xs, ys, w=560, h=120, pad=4):
 _COLORS = ('#0022ff', '#33aa00', '#ff0011', '#ddaa00', '#cc44dd',
            '#0088aa', '#001177', '#117700')
 
+_PROFILE_KEY = re.compile(r'^timer/(.+)/frac$')
+
+
+def profile_series(series):
+  """{section: (steps, fracs)} from a run's 'timer/<sec>/frac' series."""
+  out = {}
+  for key, (xs, ys) in series.items():
+    m = _PROFILE_KEY.match(key)
+    if m:
+      out[m.group(1)] = (xs, ys)
+  return out
+
+
+def svg_stack(layers, w=560, h=120, pad=4):
+  """Stacked-area polygons for [(name, xs, ys), ...] with shared steps.
+
+  Series are cut to the common length and stacked in the given order;
+  the y-axis spans [0, max stacked total] so the filled band heights read
+  directly as wall-clock fractions."""
+  if not layers:
+    return []
+  n = min(len(ys) for _, _, ys in layers)
+  if n == 0:
+    return []
+  xs = layers[0][1][:n]
+  lo_x, hi_x = min(xs), max(xs)
+  sx = (w - 2 * pad) / ((hi_x - lo_x) or 1.0)
+  totals = [0.0] * n
+  stacked = []
+  for name, _, ys in layers:
+    lower = list(totals)
+    totals = [t + y for t, y in zip(totals, ys[:n])]
+    stacked.append((name, lower, list(totals)))
+  top = max(totals) or 1.0
+  sy = (h - 2 * pad) / top
+  polys = []
+  for name, lower, upper in stacked:
+    pts = []
+    for x, y in zip(xs, upper):
+      pts.append(f'{pad + (x - lo_x) * sx:.1f},{h - pad - y * sy:.1f}')
+    for x, y in reversed(list(zip(xs, lower))):
+      pts.append(f'{pad + (x - lo_x) * sx:.1f},{h - pad - y * sy:.1f}')
+    polys.append((name, ' '.join(pts)))
+  return polys
+
+
+def render_profile(byrun, limit=8):
+  """Stacked per-section timer breakdown over time, one chart per run."""
+  charts = []
+  for i, (rundir, series) in enumerate(byrun):
+    prof = profile_series(series)
+    if not prof:
+      continue
+    # Largest sections first so the heavy bands sit at the bottom.
+    order = sorted(
+        prof, key=lambda k: -(sum(prof[k][1]) / max(len(prof[k][1]), 1)))
+    layers = [(k, *prof[k]) for k in order[:limit]]
+    polys = svg_stack(layers)
+    body = ''.join(
+        f'<polygon points="{pts}" fill="{_COLORS[j % len(_COLORS)]}" '
+        f'fill-opacity="0.7" stroke="none"><title>{name}</title></polygon>'
+        for j, (name, pts) in enumerate(polys))
+    legend = ''.join(
+        f'<span style="color:{_COLORS[j % len(_COLORS)]}">{name} '
+        f'{100 * prof[name][1][-1]:.0f}%</span>'
+        for j, name in enumerate(order[:limit]))
+    run = os.path.basename(rundir) or rundir
+    charts.append(
+        f'<div class="chart"><h4>profile · {run}</h4>'
+        f'<svg width="560" height="120">{body}</svg>'
+        f'<div class="legend">{legend}</div></div>')
+  return charts
+
 _PAGE = """<!doctype html><html><head><title>embodied_tpu viewer</title>
 <style>
 body {{ font-family: monospace; margin: 16px; background: #fafafa; }}
@@ -168,8 +241,11 @@ form {{ margin-bottom: 12px; }}
 
 def render_page(root, pattern):
   runs = scan_runs(root)
-  byrun = [(r, load_series(r, pattern)) for r in runs]
-  keys = sorted({k for _, s in byrun for k in s})
+  # Timer sections are loaded regardless of the metric filter (they feed
+  # the profile view, not the per-metric charts).
+  byrun = [(r, load_series(r, f'(?:{pattern})|^timer/')) for r in runs]
+  keys = sorted({k for _, s in byrun for k in s
+                 if not k.startswith('timer/') and re.search(pattern, k)})
   legend = ''.join(
       f'<span style="color:{_COLORS[i % len(_COLORS)]}">'
       f'{os.path.basename(r) or r}</span>'
@@ -190,6 +266,7 @@ def render_page(root, pattern):
     charts.append(
         f'<div class="chart"><h4>{key} · {latest}</h4>'
         f'<svg width="560" height="120">{"".join(paths)}</svg></div>')
+  charts.extend(render_profile(byrun))
   return _PAGE.format(
       filter=pattern, nruns=len(runs), legend=legend,
       charts=''.join(charts))

@@ -87,3 +87,45 @@ class TestViewer:
       assert 'episode/score' in html
     finally:
       server.shutdown()
+
+
+class TestProfileView:
+
+  def _profile_logdir(self, tmp_path):
+    write_metrics(tmp_path / 'run', [
+        {'step': s,
+         'train/loss': 5.0,
+         'timer/agent_policy/frac': 0.5 - s / 4000,
+         'timer/learner_tick/frac': 0.3 + s / 4000,
+         'timer/episode_log/frac': 0.05,
+         'timer/agent_policy/avg': 0.01,
+         }
+        for s in range(0, 1000, 100)])
+    return tmp_path
+
+  def test_profile_series_extracts_frac_keys(self, tmp_path):
+    root = self._profile_logdir(tmp_path)
+    series = viewer.load_series(str(root / 'run'), '.*')
+    prof = viewer.profile_series(series)
+    assert set(prof) == {'agent_policy', 'learner_tick', 'episode_log'}
+    xs, ys = prof['agent_policy']
+    assert len(xs) == 10 and abs(ys[0] - 0.5) < 1e-9
+
+  def test_svg_stack_orders_and_scales(self):
+    layers = [
+        ('a', [0, 1, 2], [0.5, 0.5, 0.5]),
+        ('b', [0, 1, 2], [0.25, 0.25, 0.25]),
+    ]
+    polys = viewer.svg_stack(layers)
+    assert [name for name, _ in polys] == ['a', 'b']
+    assert all(pts for _, pts in polys)
+
+  def test_profile_chart_in_page(self, tmp_path):
+    root = self._profile_logdir(tmp_path)
+    page = viewer.render_page(str(root), 'loss')
+    assert 'profile ·' in page
+    assert '<polygon' in page
+    assert 'agent_policy' in page
+    assert 'learner_tick' in page
+    # The raw timer series are not rendered as individual metric charts.
+    assert 'timer/agent_policy/frac ·' not in page
