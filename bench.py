@@ -19,18 +19,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main():
-  parser = argparse.ArgumentParser()
-  parser.add_argument('--quick', action='store_true')
-  parser.add_argument('--size', default='size12m')
-  parser.add_argument('--steps', type=int, default=60)
-  parser.add_argument('--batch', type=int, default=16)
-  parser.add_argument('--length', type=int, default=64)
-  parser.add_argument('--kernel', default='',
-                      help="override dyn.rssm.kernel: auto|fused|off")
-  args = parser.parse_args()
+# Peak dense bf16 TFLOP/s by device kind, for the MFU fields.
+PEAKS = {
+    'TPU v5 lite': 197e12,   # v5e
+    'TPU v5e': 197e12,
+    'TPU v5p': 459e12,
+    'TPU v4': 275e12,
+    'TPU v6 lite': 918e12,   # v6e / Trillium
+}
 
-  import numpy as np
+
+def peak_flops(device):
+  name = str(device)
+  for kind, peak in PEAKS.items():
+    if kind.lower() in name.lower():
+      return peak
+  return None
+
+
+def build_agent(size='size12m', batch=16, length=64, kernel='',
+                quick=False):
+  """Build the flagship DreamerV3 agent on a dummy image env."""
   from embodied_tpu.models import common
   from embodied_tpu.models.dreamerv3.model import Model
   from embodied_tpu import parallel
@@ -42,25 +51,22 @@ def main():
   overrides = [
       '--task', 'dummy_disc',
       '--logdir', '/tmp/bench',
-      '--batch_size', str(args.batch),
-      '--batch_length', str(args.length),
+      '--batch_size', str(batch),
+      '--batch_length', str(length),
       '--jax.mesh', '1,1,1',
       '--jax.precompile', 'False',
   ]
-  if args.kernel:
-    overrides += ['--agent.dyn.rssm.kernel', args.kernel]
-  if args.quick:
+  if kernel:
+    overrides += ['--agent.dyn.rssm.kernel', kernel]
+  if quick:
     config = common.assemble_config(
         path, ['--configs', 'debug'] + overrides +
         ['--batch_size', '4', '--batch_length', '8'])
-    steps = 5
   else:
     config = common.assemble_config(
-        path, ['--configs', args.size] + overrides)
-    steps = args.steps
+        path, ['--configs', size] + overrides)
 
   parallel.setup(compute_dtype='bfloat16')
-  import jax
 
   env = Dummy('disc', size=(64, 64), length=100)
   obs_space = {k: v for k, v in env.obs_space.items()
@@ -71,6 +77,25 @@ def main():
   acfg = common.agent_config(config)
   model = Model(obs_space, act_space, acfg)
   agent = parallel.Agent(model, obs_space, act_space, acfg)
+  return agent, model, config
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--quick', action='store_true')
+  parser.add_argument('--size', default='size12m')
+  parser.add_argument('--steps', type=int, default=60)
+  parser.add_argument('--batch', type=int, default=16)
+  parser.add_argument('--length', type=int, default=64)
+  parser.add_argument('--kernel', default='',
+                      help="override dyn.rssm.kernel: auto|fused|off")
+  args = parser.parse_args()
+
+  import numpy as np  # noqa: F401
+  steps = 5 if args.quick else args.steps
+  agent, model, config = build_agent(
+      args.size, args.batch, args.length, args.kernel, args.quick)
+  import jax
 
   B = agent.batch_size
   L = agent.batch_length
@@ -94,6 +119,14 @@ def main():
   step_ms = 1000 * dt / steps
   params = sum(v.size for k, v in agent.store.items()
                if agent.meta.get(k) == 'param')
+
+  # MFU from the XLA cost analysis of the same executable: achieved
+  # FLOP/s over the device's dense bf16 peak.
+  cost = agent.train_cost()
+  flops = float(cost.get('flops', 0) or 0)
+  peak = peak_flops(jax.devices()[0])
+  tflops = flops * steps / dt / 1e12 if flops else 0.0
+  mfu = (tflops * 1e12 / peak) if (flops and peak) else 0.0
 
   baseline_path = os.path.join(
       os.path.dirname(os.path.abspath(__file__)), 'BENCH_baseline.json')
@@ -119,6 +152,9 @@ def main():
       'length': L,
       'size': 'debug' if args.quick else args.size,
       'device': str(jax.devices()[0]),
+      'gflop_per_step': round(flops / 1e9, 1),
+      'tflops': round(tflops, 2),
+      'mfu': round(mfu, 4),
   }
   print(json.dumps(result))
 

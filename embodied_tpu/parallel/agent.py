@@ -470,7 +470,10 @@ class Agent(corelib.Agent):
         mode: jax.jit(init_mode(mode), static_argnums=(1,))
         for mode in ('policy', 'train', 'report')}
 
-  def _precompile(self):
+  def train_cost(self):
+    """AOT-compile the train step and return XLA's cost analysis dict
+    (notably 'flops' and 'bytes accessed'); shares the compile cache with
+    the executable the train loop uses."""
     length = self.batch_length + self.replay_context
     data = self._example_batch(self.batch_size, length)
     data_shapes = jax.tree.map(
@@ -480,24 +483,28 @@ class Agent(corelib.Agent):
         dict(self.store))
     carry = jax.eval_shape(
         lambda: self._init_fns['train'](store_shapes, self.batch_size))
+    if self._latents is not None:
+      table_shapes = jax.tree.map(
+          lambda x: jax.ShapeDtypeStruct(
+              x.shape, x.dtype, sharding=x.sharding),
+          dict(self._latents.tables))
+      lowered = self._train_table.lower(
+          store_shapes, table_shapes, 0, carry, data_shapes)
+    else:
+      lowered = self._train.lower(store_shapes, 0, carry, data_shapes)
+    compiled = lowered.compile()
+    try:
+      cost = compiled.cost_analysis()
+      return cost[0] if isinstance(cost, list) else dict(cost)
+    except Exception:
+      return {}
+
+  def _precompile(self):
     with timer.section('precompile_train'):
-      if self._latents is not None:
-        table_shapes = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(
-                x.shape, x.dtype, sharding=x.sharding),
-            dict(self._latents.tables))
-        lowered = self._train_table.lower(
-            store_shapes, table_shapes, 0, carry, data_shapes)
-      else:
-        lowered = self._train.lower(store_shapes, 0, carry, data_shapes)
-      compiled = lowered.compile()
-      try:
-        cost = compiled.cost_analysis()
-        cost = cost[0] if isinstance(cost, list) else cost
-        flops = cost.get('flops', 0)
+      cost = self.train_cost()
+      flops = cost.get('flops', 0)
+      if flops:
         print(f'Train step FLOPs: {flops:.3e}')
-      except Exception:
-        pass
 
   # --- Agent API ----------------------------------------------------------
 
