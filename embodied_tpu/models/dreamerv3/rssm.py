@@ -183,6 +183,32 @@ class RSSM(nn.Module):
     # recurrence only carries deter/stoch); this keeps the scan body small
     # and feeds the MXU a (B*T, .) matmul instead of T tiny ones.
     actfeat = self._action_feat(p, nn.mask(action, ~reset), ~reset)
+    if self._obs_seq_eligible(p):
+      # Whole-window fused path: ONE pallas_call spans the BPTT loop with
+      # the recurrent state in VMEM and in-kernel categorical sampling
+      # (ops/observe_seq.py). Inputs go time-major for per-step grid
+      # blocks; Gumbel noise is drawn once for the window.
+      from ...ops import observe_seq as seqlib
+      B = reset.shape[0]
+      S, C = self.stoch, self.classes
+      toks = nn.cast(tokens.reshape((B, T, -1))).transpose(1, 0, 2)
+      acts = nn.cast(actfeat).transpose(1, 0, 2)
+      keep = (~reset).astype(jnp.float32).T
+      gum = jax.random.gumbel(ctx.rng(), (T, B, S * C), jnp.float32)
+      deter0 = nn.cast(carry['deter'])
+      stoch0 = nn.cast(carry['stoch'].reshape((B, -1)))
+      dseq, sseq, lseq = seqlib.observe_seq(
+          deter0, stoch0, acts, toks, keep, gum,
+          self._obs_params(p, toks.shape[-1]),
+          self.blocks, S, C, self.unimix)
+      deter = dseq.transpose(1, 0, 2)
+      stoch = sseq.transpose(1, 0, 2).reshape((B, T, S, C))
+      logit = lseq.transpose(1, 0, 2).reshape((B, T, S, C)).astype(
+          jnp.float32)
+      carry = dict(deter=deter[:, -1], stoch=stoch[:, -1])
+      entries = dict(deter=deter, stoch=stoch)
+      feat = dict(deter=deter, stoch=stoch, logit=logit)
+      return carry, entries, feat
     # Per-step sampling keys ride along the scan: (T, 2) transposed so the
     # time axis lines up with axis=1 of the data.
     keys = jax.random.split(ctx.rng(), T).T
@@ -315,6 +341,15 @@ class RSSM(nn.Module):
     on-chip, ~3% whole-step win at size12m); kernel: off disables."""
     return (self.kernel in ('auto', 'fused') and not self.absolute and
             len(self.obs_layers) == 1 and self._kernel_eligible(p))
+
+  def _obs_seq_eligible(self, p):
+    """Whether the grid-over-time fused observe window applies (one
+    pallas_call for the whole BPTT loop, ops/observe_seq.py): same
+    structural conditions as the per-step fused observe, plus lane-tile
+    alignment for the in-kernel (B, S, C) group-softmax reshape."""
+    return (self._obs_kernel_eligible(p) and
+            self.classes % 8 == 0 and
+            (self.stoch * self.classes) % 128 == 0)
 
   def _obs_params(self, p, token_dim):
     D, H = self.deter, self.hidden

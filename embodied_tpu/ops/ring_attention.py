@@ -92,14 +92,21 @@ def ring_attention(q, k, v, axis_name, causal=False):
   return out.astype(q.dtype)
 
 
-def ring_attention_sharded(q, k, v, mesh, axis='t', causal=False):
-  """Run ring attention over global (B, T, H, D) arrays, sharding the
-  time dimension over `axis` of `mesh`."""
+@functools.lru_cache(maxsize=None)
+def _sharded_fn(mesh, axis, causal):
   spec = P(None, axis)
   fn = functools.partial(ring_attention, axis_name=axis, causal=causal)
-  return jax.shard_map(
+  return jax.jit(jax.shard_map(
       fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-      check_vma=False)(q, k, v)
+      check_vma=False))
+
+
+def ring_attention_sharded(q, k, v, mesh, axis='t', causal=False):
+  """Run ring attention over global (B, T, H, D) arrays, sharding the
+  time dimension over `axis` of `mesh`. The jitted shard_map executable
+  is cached per (mesh, axis, causal), so repeated calls with the same
+  shapes reuse one compile."""
+  return _sharded_fn(mesh, axis, causal)(q, k, v)
 
 
 def full_attention(q, k, v, causal=False):

@@ -78,7 +78,14 @@ class LatentTable:
       return tables
 
     shardings = {k: sharding for k in (*self.keys, '_gen')}
-    self.tables = jax.jit(build, out_shardings=shardings)()
+    self._build = jax.jit(build, out_shardings=shardings)
+    self.tables = self._build()
+
+  def reset(self):
+    """Return the table to the fresh all-invalid state (every generation
+    tag back to the sentinel, allocator counters to zero)."""
+    self.tables = self._build()
+    self.counters = {k: 0 for k in self.counters}
 
   @property
   def nbytes(self):

@@ -103,11 +103,32 @@ class TestAllocator:
     assert table2.counter == 10
 
 
+
+@pytest.fixture(scope='module')
+def shared(tmp_path_factory):
+  """One compiled default-config table-mode agent for the whole module:
+  agent construction dominates this file's runtime (one jit set per
+  agent), and every test that needs default config can start from a
+  reset table instead of a fresh compile."""
+  config = make_config(tmp_path_factory.mktemp('latents_shared'))
+  return dv3_main.make_agent(config), config
+
+
+@pytest.fixture
+def agent_config(shared):
+  agent, config = shared
+  agent._latents.reset()
+  # Flush the depth-k async metric pipeline so each test's first train
+  # call returns its own metrics (warmup semantics, as on a fresh agent).
+  agent._pending_train.clear()
+  agent._fetched_train = None
+  return agent, config
+
+
 class TestAgentIntegration:
 
-  def test_ext_space_replaces_latents_with_slots(self, tmp_path):
-    config = make_config(tmp_path)
-    agent = dv3_main.make_agent(config)
+  def test_ext_space_replaces_latents_with_slots(self, agent_config):
+    agent, config = agent_config
     assert agent._latents is not None
     ext = agent.ext_space
     assert 'slot' in ext and 'slotgen' in ext
@@ -115,10 +136,9 @@ class TestAgentIntegration:
     # The model-native space still carries the latent columns.
     assert 'dyn/deter' in agent.model.ext_space
 
-  def test_policy_scatters_and_returns_slots(self, tmp_path):
+  def test_policy_scatters_and_returns_slots(self, agent_config):
     import jax
-    config = make_config(tmp_path)
-    agent = dv3_main.make_agent(config)
+    agent, config = agent_config
     obs = agent._example_obs(3)
     obs['is_first'][:] = True
     carry = agent.init_policy(3)
@@ -130,10 +150,9 @@ class TestAgentIntegration:
     np.testing.assert_array_equal(gen[:3], [0, 0, 0])
     assert (gen[3:] == GEN_INVALID).all()
 
-  def test_train_grafts_valid_context_and_refreshes(self, tmp_path):
+  def test_train_grafts_valid_context_and_refreshes(self, agent_config):
     import jax
-    config = make_config(tmp_path)
-    agent = dv3_main.make_agent(config)
+    agent, config = agent_config
     B = config.batch_size
     T = config.batch_length + config.replay_context
     # Fill the first B*T slots with policy latents so the training batch
@@ -156,9 +175,8 @@ class TestAgentIntegration:
     gen = np.asarray(jax.device_get(agent._latents.tables['_gen']))
     assert (gen[:B * T] != GEN_INVALID).all()
 
-  def test_invalid_generation_falls_back_to_reset(self, tmp_path):
-    config = make_config(tmp_path)
-    agent = dv3_main.make_agent(config)
+  def test_invalid_generation_falls_back_to_reset(self, agent_config):
+    agent, config = agent_config
     B = config.batch_size
     T = config.batch_length + config.replay_context
     data = agent._example_batch(B, T)
@@ -205,9 +223,8 @@ class TestAgentIntegration:
     # Refreshed latents flow back for replay patching in this mode.
     assert 'replay' in outs
 
-  def test_report_with_table(self, tmp_path):
-    config = make_config(tmp_path)
-    agent = dv3_main.make_agent(config)
+  def test_report_with_table(self, agent_config):
+    agent, config = agent_config
     B = config.batch_size
     T = config.batch_length + config.replay_context
     data = agent._example_batch(B, T)
@@ -216,26 +233,25 @@ class TestAgentIntegration:
     carry, mets = agent.report(carry, data)
     assert any(k.startswith('openloop/') for k in mets)
 
-  def test_checkpoint_persists_allocator(self, tmp_path):
-    config = make_config(tmp_path)
-    agent = dv3_main.make_agent(config)
+  def test_checkpoint_persists_allocator(self, agent_config):
+    agent, config = agent_config
     agent._latents.alloc(7)
     state = agent.save()
-    agent2 = dv3_main.make_agent(config)
-    agent2.load(state)
-    assert agent2._latents.counter == 7
+    # Restart sim: reset the allocator, then restore from the checkpoint.
+    agent._latents.reset()
+    agent.load(state)
+    assert agent._latents.counter == 7
 
-  def test_pretable_checkpoint_bumps_generation(self, tmp_path):
+  def test_pretable_checkpoint_bumps_generation(self, agent_config):
     # A checkpoint saved without allocator state (pre-table version) must
     # not let fresh allocations mint (slot, gen) pairs that collide with
     # pairs potentially sitting in restored replay.
-    config = make_config(tmp_path)
-    agent = dv3_main.make_agent(config)
+    agent, config = agent_config
     state = agent.save()
     del state['latents']
-    agent2 = dv3_main.make_agent(config)
-    agent2.load(state)
-    _, gens = agent2._latents.alloc(4)
+    agent._latents.reset()
+    agent.load(state)
+    _, gens = agent._latents.alloc(4)
     assert (gens >= 1).all()
 
 

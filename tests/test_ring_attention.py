@@ -23,7 +23,9 @@ def make_qkv(B=2, T=32, H=2, D=16, dtype=jnp.float32, seed=0):
 
 class TestRingAttention:
 
-  @pytest.mark.parametrize('causal', [False, True])
+  @pytest.mark.parametrize(
+      'causal',
+      [pytest.param(False, marks=pytest.mark.slow), True])
   def test_matches_dense(self, causal):
     mesh = make_mesh(4)
     q, k, v = make_qkv()
@@ -32,6 +34,7 @@ class TestRingAttention:
     np.testing.assert_allclose(
         np.asarray(want), np.asarray(got), rtol=1e-5, atol=1e-5)
 
+  @pytest.mark.slow
   def test_matches_dense_bf16(self):
     mesh = make_mesh(4)
     q, k, v = make_qkv(dtype=jnp.bfloat16)
@@ -59,6 +62,7 @@ class TestRingAttention:
       np.testing.assert_allclose(
           np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
+  @pytest.mark.slow
   def test_eight_way_ring(self):
     mesh = make_mesh(8)
     q, k, v = make_qkv(T=64)
@@ -104,6 +108,7 @@ class TestRingAttentionLayer:
         np.asarray(want, np.float32), np.asarray(got, np.float32),
         rtol=5e-2, atol=2e-2)
 
+  @pytest.mark.slow
   def test_transformer_ring_matches_dense(self):
     # A full Transformer stack in ring mode (impl flows through to the
     # attention layers only) must match the dense stack on sharded time.

@@ -41,6 +41,9 @@ def main():
   import jax
   import jax.numpy as jnp
   from embodied_tpu.nn.core import Ctx
+  # This tool moves intermediates host<->device freely; the production
+  # transfer-guard discipline does not apply here.
+  jax.config.update('jax_transfer_guard', 'allow')
 
   B = agent.batch_size
   L = agent.batch_length + agent.replay_context
@@ -148,15 +151,15 @@ def main():
       segments[f'{name}/fwdbwd_ms'] = round(timeit(grad, params), 3)
     except Exception as e:
       segments[f'{name}/error'] = str(e)[:200]
+    print(name, {k: v for k, v in segments.items() if k.startswith(name)})
 
-  # The full train step (optimizer included) for reference.
-  def train_step():
-    return agent.train(carry, dict(data))
-  agent.train(carry, dict(data))
+  # The full train step (optimizer included) for reference. The train
+  # executable donates its carry, so rebind it every call.
+  carry, _, _ = agent.train(carry, dict(data))
   jax.block_until_ready(agent.store)
   t0 = time.perf_counter()
   for _ in range(args.iters):
-    agent.train(carry, dict(data))
+    carry, _, _ = agent.train(carry, dict(data))
   jax.block_until_ready(agent.store)
   segments['train_step_ms'] = round(
       1000 * (time.perf_counter() - t0) / args.iters, 3)
