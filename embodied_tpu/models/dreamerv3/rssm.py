@@ -346,8 +346,10 @@ class RSSM(nn.Module):
     """Whether the grid-over-time fused observe window applies (one
     pallas_call for the whole BPTT loop, ops/observe_seq.py): same
     structural conditions as the per-step fused observe, plus lane-tile
-    alignment for the in-kernel (B, S, C) group-softmax reshape."""
-    return (self._obs_kernel_eligible(p) and
+    alignment for the in-kernel flat group softmax/argmax. `kernel:
+    fused` restricts to the per-step kernels (the A/B baseline)."""
+    return (self.kernel == 'auto' and
+            self._obs_kernel_eligible(p) and
             self.classes % 8 == 0 and
             (self.stoch * self.classes) % 128 == 0)
 

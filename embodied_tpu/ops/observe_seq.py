@@ -91,6 +91,16 @@ def _rotate(x, k):
   return jnp.concatenate([x[:, k:], x[:, :k]], axis=1)
 
 
+def _bcast(start, same):
+  # Exactness note: `start` has ONE nonzero per group, so the product
+  # against the 0/1 matrix is a single term; still, the MXU's f32 path is
+  # multi-pass bf16, so only values with short mantissas (small integers)
+  # broadcast bit-exactly. Use HIGHEST precision to keep real-valued
+  # broadcasts (softmax max/sum) accurate too.
+  return jnp.dot(start, same, preferred_element_type=f32,
+                 precision=jax.lax.Precision.HIGHEST)
+
+
 def _seg_max_bcast(z, pos, same, C):
   """Per-group max of z (B, L) f32, broadcast back to every lane."""
   m = z
@@ -99,19 +109,39 @@ def _seg_max_bcast(z, pos, same, C):
     m = jnp.where(pos + k < C, jnp.maximum(m, _rotate(m, k)), m)
     k *= 2
   start = jnp.where(pos == 0, m, 0.0)  # Suffix max at pos 0 == group max.
-  return jnp.dot(start, same, preferred_element_type=f32)
+  return _bcast(start, same)
+
+
+def _seg_argmax_onehot(z, pos, same, C, dtype):
+  """Per-group one-hot argmax of z (B, L) f32, computed by propagating
+  the argmax POSITION through the max doubling: positions are small
+  integers that survive the broadcast matmul exactly, so the final
+  equality compare is robust to MXU rounding (an equality on the VALUE
+  broadcast is not)."""
+  m = z
+  a = jnp.broadcast_to(pos.astype(f32), z.shape)
+  k = 1
+  while k < C:
+    ms, as_ = _rotate(m, k), _rotate(a, k)
+    within = pos + k < C
+    better = jnp.logical_and(within, ms > m)
+    m = jnp.where(better, ms, m)
+    a = jnp.where(better, as_, a)
+    k *= 2
+  idx = _bcast(jnp.where(pos == 0, a, 0.0), same)
+  return (jnp.abs(pos.astype(f32) - idx) < 0.5).astype(dtype)
 
 
 def _seg_softmax_flat(z, pos, same, C, unimix):
   """Unimix-blended per-group softmax of flat logits (B, L) f32."""
   e = jnp.exp(z - _seg_max_bcast(z, pos, same, C))
-  gsum = jnp.dot(e, same, preferred_element_type=f32)
+  gsum = _bcast(e, same)
   sm = e / gsum
   return (1.0 - unimix) * sm + unimix / C, sm
 
 
 def _st_logit_grad_flat(dsoft, sm, same, unimix):
-  inner = dsoft - jnp.dot(dsoft * sm, same, preferred_element_type=f32)
+  inner = dsoft - _bcast(dsoft * sm, same)
   return (1.0 - unimix) * sm * inner
 
 
@@ -181,7 +211,7 @@ def _seq_kernel(act_ref, tok_ref, mask_ref, gum_ref,
   # kernel input (generated once per window with jax.random outside), so
   # sampling stays key-deterministic and resume-stable.
   y = jnp.log(probs) + gum_ref[0].astype(f32)
-  hard_flat = (y >= _seg_max_bcast(y, pos, same, C)).astype(cdt)
+  hard_flat = _seg_argmax_onehot(y, pos, same, C, cdt)
   deter_out[0] = new
   stoch_out[0] = hard_flat
   logit_out[0] = logit.astype(cdt)
