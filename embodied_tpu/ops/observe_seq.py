@@ -8,7 +8,7 @@ This module fuses the WHOLE window: the pallas grid runs over time (TPU
 grid steps execute sequentially), the recurrent state lives in VMEM
 scratch across grid steps, the weights are fetched into VMEM once, and
 the unimix categorical sampling (straight-through gradients) happens
-in-kernel with the TPU PRNG.
+in-kernel by Gumbel-max over noise supplied as an input.
 
 Per grid step t the kernel:
   masks state by ~reset[t], runs the block-GRU core + posterior head
@@ -23,12 +23,13 @@ gradients in VMEM scratch, emitting them on the final grid step.
 
 Sampling parity note: the kernel draws from the exact sampling
 distribution of dists.OneHot (log_softmax -> unimix blend -> Gumbel-max)
-but uses the TPU core PRNG seeded per (seed, t), so the realized sample
-STREAM differs from the jax.random.categorical path. Tests therefore
-validate (a) the deterministic tensors step-by-step against the XLA
-reference driven by the kernel's own samples, (b) the backward against
-autodiff of that replayed reference, and (c) the sampling frequencies
-statistically (tests/test_ops_seq.py).
+with Gumbel noise generated once per window by jax.random — sampling is
+key-deterministic and resume-stable, though the realized sample STREAM
+differs from the jax.random.categorical path's. Tests therefore validate
+(a) the deterministic tensors step-by-step against the XLA reference
+driven by the kernel's own samples, (b) the backward against autodiff of
+that replayed reference, and (c) the sampling frequencies statistically
+(tests/test_ops_seq.py).
 
 Reference anchors: /root/reference/dreamerv3/rssm.py:61-118 (observe
 math), /root/reference/embodied/jax/outs.py:243-271 (OneHot sampling).
@@ -214,7 +215,7 @@ def _seq_kernel(act_ref, tok_ref, mask_ref, gum_ref,
   hard_flat = _seg_argmax_onehot(y, pos, same, C, cdt)
   deter_out[0] = new
   stoch_out[0] = hard_flat
-  logit_out[0] = logit.astype(cdt)
+  logit_out[0] = logit  # f32: the KL losses consume these directly.
   sd[:] = new
   ss[:] = hard_flat
 
@@ -256,7 +257,7 @@ def fused_observe_seq(deter0, stoch0, actfeat, tokens, keepmask, gumbels,
       ],
       out_shape=(jax.ShapeDtypeStruct((T, B, D), deter0.dtype),
                  jax.ShapeDtypeStruct((T, B, L), stoch0.dtype),
-                 jax.ShapeDtypeStruct((T, B, L), deter0.dtype)),
+                 jax.ShapeDtypeStruct((T, B, L), jnp.float32)),
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=int(weight_bytes + (1 << 25))),
       interpret=interpret,

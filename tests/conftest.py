@@ -29,6 +29,14 @@ jax.config.update('jax_compilation_cache_dir', None)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# Captured once at session start: the pristine guard value to restore
+# after every test. A per-test snapshot is NOT safe — module-scoped
+# fixtures (e.g. the shared compiled agent in test_latents) build agents
+# BEFORE the function-scoped snapshot runs, so the snapshot would capture
+# the agent's 'disallow' and leak it across the whole session.
+_SESSION_GUARD = jax.config.jax_transfer_guard or 'allow'
+
+
 @pytest.fixture(autouse=True)
 def _restore_transfer_guard():
   """parallel/setup.py flips jax_transfer_guard to 'disallow' globally when
@@ -36,6 +44,5 @@ def _restore_transfer_guard():
   test running after an agent-constructing test fails on ordinary
   numpy->device transfers. Tests asserting guard behavior set it
   themselves inside the test body."""
-  before = jax.config.jax_transfer_guard
   yield
-  jax.config.update('jax_transfer_guard', before or 'allow')
+  jax.config.update('jax_transfer_guard', _SESSION_GUARD)
