@@ -264,10 +264,24 @@ class RSSM(nn.Module):
     else:
       action = policy_or_action
     actfeat = self._action_feat(p, nn.cast(action))
-    deter = self._core(p, carry['deter'], carry['stoch'], actfeat,
-                       kernel=True)
-    logit = self._prior(p, deter)
-    stoch = nn.cast(self._dist(logit).sample(key))
+    if self._imag_kernel_eligible(p):
+      # One launch for core + prior head + stoch sampling (the policy
+      # MLP above stays XLA — it depends on the previous sample).
+      from ...ops import imagine as imaglib
+      B = actfeat.shape[0]
+      S, C = self.stoch, self.classes
+      stoch_flat = nn.cast(carry['stoch'].reshape((B, -1)))
+      gum = jax.random.gumbel(key, (B, S * C), jnp.float32)
+      deter, hard, logitflat = imaglib.imag_step_vjp(
+          nn.cast(carry['deter']), stoch_flat, nn.cast(actfeat), gum,
+          self._imag_params(p), self.blocks, S, C, self.unimix)
+      stoch = hard.reshape((B, S, C))
+      logit = logitflat.reshape((B, S, C))
+    else:
+      deter = self._core(p, carry['deter'], carry['stoch'], actfeat,
+                         kernel=True)
+      logit = self._prior(p, deter)
+      stoch = nn.cast(self._dist(logit).sample(key))
     carry = nn.cast(dict(deter=deter, stoch=stoch))
     feat = nn.cast(dict(deter=deter, stoch=stoch, logit=logit))
     return carry, (feat, action)
@@ -352,6 +366,31 @@ class RSSM(nn.Module):
             self._obs_kernel_eligible(p) and
             self.classes % 8 == 0 and
             (self.stoch * self.classes) % 128 == 0)
+
+  def _imag_kernel_eligible(self, p):
+    """Whether the fused imagination step (core + prior + sampling, one
+    launch, ops/imagine.py) applies: same core conditions plus the
+    default 2-layer prior and lane-aligned class layout."""
+    return (self.kernel == 'auto' and
+            self._kernel_eligible(p) and
+            len(self.img_layers) == 2 and
+            self.classes % 8 == 0 and
+            (self.stoch * self.classes) % 128 == 0)
+
+  def _imag_params(self, p):
+    D, H = self.deter, self.hidden
+    L = self.stoch * self.classes
+    par = lambda mod, name, shape: p(mod).param(name, shape, 0.0)
+    return self._core_params(p) + (
+        nn.cast(par('prior0', 'kernel', (D, H))),
+        nn.cast(par('prior0', 'bias', (H,))),
+        par('prior0norm', 'scale', (H,)),
+        nn.cast(par('prior1', 'kernel', (H, H))),
+        nn.cast(par('prior1', 'bias', (H,))),
+        par('prior1norm', 'scale', (H,)),
+        nn.cast(par('priorlogit', 'kernel', (H, L))),
+        nn.cast(par('priorlogit', 'bias', (L,))),
+    )
 
   def _obs_params(self, p, token_dim):
     D, H = self.deter, self.hidden

@@ -167,3 +167,68 @@ class TestBackward:
       grads = jax.grad(loss, argnums=(0, 1))(deter0, act, params)
     assert np.isfinite(np.asarray(grads[0])).all()
     assert np.isfinite(np.asarray(grads[1])).all()
+
+
+class TestImagStep:
+  """Fused imagination step (ops/imagine.py): core + prior + sampling."""
+
+  def _params(self, seed=0):
+    from embodied_tpu.ops import imagine as imaglib
+    rng = np.random.default_rng(seed)
+    dg = D // G
+    shapes = dict(
+        w0=(D, H), b0=(H,), s0=(H,), w1=(L, H), b1=(H,), s1=(H,),
+        wblk=(G, dg, dg), bblk=(D,), win=(3 * H, D), sh=(D,),
+        wg=(G, dg, 3 * dg), bg=(3 * D,),
+        wp0=(D, H), bp0=(H,), sp0=(H,), wp1=(H, H), bp1=(H,), sp1=(H,),
+        wl=(H, L), bl=(L,))
+    out = []
+    for name in imaglib.FIELDS:
+      scale = 1.0 if name.startswith('s') and len(name) <= 3 else 0.3
+      base = 1.0 if name in ('s0', 's1', 'sh', 'sp0', 'sp1') else 0.0
+      out.append(jnp.asarray(
+          base + scale * rng.standard_normal(shapes[name]), f32))
+    return tuple(out)
+
+  def test_matches_reference(self):
+    from embodied_tpu.ops import imagine as imaglib
+    params = self._params()
+    deter0, stoch0, act, tok, keep = make_inputs()
+    gum = jax.random.gumbel(jax.random.PRNGKey(5), (B, L), f32)
+    got = imaglib.fused_imag_step(
+        deter0, stoch0, act[0], gum, params, g=G, S=S, C=C,
+        interpret=True)
+    want = imaglib.reference_imag_step(
+        deter0, stoch0, act[0], gum, params, C)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(want[0]), rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+    np.testing.assert_allclose(
+        np.asarray(got[2]), np.asarray(want[2]), rtol=2e-3, atol=2e-3)
+    # Samples are exact one-hots per group.
+    s3 = np.asarray(got[1]).reshape(B, S, C)
+    np.testing.assert_array_equal(s3.sum(-1), np.ones((B, S)))
+
+  def test_vjp_matches_reference_autodiff(self):
+    from jax.experimental.pallas import tpu as pltpu
+    from embodied_tpu.ops import imagine as imaglib
+    params = self._params()
+    deter0, stoch0, act, tok, keep = make_inputs()
+    gum = jax.random.gumbel(jax.random.PRNGKey(5), (B, L), f32)
+
+    def loss_kernel(deter, act, params):
+      d, s, lg = imaglib.imag_step_vjp(
+          deter, stoch0, act, gum, params, G, S, C)
+      return jnp.sum(d) + jnp.sum(lg)
+
+    def loss_ref(deter, act, params):
+      d, s, lg = imaglib.reference_imag_step(
+          deter, stoch0, act, gum, params, C)
+      return jnp.sum(d) + jnp.sum(lg)
+
+    with pltpu.force_tpu_interpret_mode():
+      got = jax.grad(loss_kernel, argnums=(0, 1))(deter0, act[0], params)
+    want = jax.grad(loss_ref, argnums=(0, 1))(deter0, act[0], params)
+    for a, b in zip(got, want):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
