@@ -64,7 +64,7 @@ class RSSM(nn.Module):
     assert deter % blocks == 0, (deter, blocks)
     assert latents in ('i8', 'f16', 'f32'), latents
     assert classes <= 256, (classes, 'uint8 stoch indices')
-    assert kernel in ('auto', 'fused', 'off'), kernel
+    assert kernel in ('auto', 'imag', 'fused', 'off'), kernel
     self.latents = latents
     self.kernel = kernel
     self.act_space = act_space
@@ -330,7 +330,7 @@ class RSSM(nn.Module):
   def _kernel_eligible(self, p):
     """Whether the fused Pallas core step applies: TPU, default layer
     stack, rms/silu math, and weights that fit the VMEM budget."""
-    if self.kernel not in ('auto', 'fused') or p.create:
+    if self.kernel not in ('auto', 'imag', 'fused') or p.create:
       return False
     if self.dynlayers != 1 or self.norm != 'rms' or self.act != 'silu':
       return False
@@ -362,7 +362,7 @@ class RSSM(nn.Module):
     structural conditions as the per-step fused observe, plus lane-tile
     alignment for the in-kernel flat group softmax/argmax. `kernel:
     fused` restricts to the per-step kernels (the A/B baseline)."""
-    return (self.kernel == 'auto' and
+    return (self.kernel in ('auto', 'imag') and
             self._obs_kernel_eligible(p) and
             self.classes % 8 == 0 and
             (self.stoch * self.classes) % 128 == 0)
@@ -371,7 +371,12 @@ class RSSM(nn.Module):
     """Whether the fused imagination step (core + prior + sampling, one
     launch, ops/imagine.py) applies: same core conditions plus the
     default 2-layer prior and lane-aligned class layout."""
-    return (self.kernel == 'auto' and
+    # Opt-in only ('kernel: imag'): the fused step wins in isolation
+    # (0.094 ms vs ~0.5 ms of XLA launches at B*K=1024) but regresses
+    # the INTEGRATED train step ~1 ms at batch 16x64 — the pallas_call
+    # boundary in the rollout scan blocks XLA from overlapping the
+    # policy MLP with the dynamics. Kept for large-batch configurations.
+    return (self.kernel == 'imag' and
             self._kernel_eligible(p) and
             len(self.img_layers) == 2 and
             self.classes % 8 == 0 and
