@@ -156,6 +156,23 @@ def main():
       'tflops': round(tflops, 2),
       'mfu': round(mfu, 4),
   }
+
+  # Attach the latest size-sweep datapoints (runs/bench_r04.sh) so the
+  # one-line artifact carries MFU across presets, not just the default.
+  sweep = {}
+  for name in ('size50m', 'size200m'):
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        'runs', 'bench_r04', f'{name}.json')
+    try:
+      with open(path) as f:
+        row = json.load(f)
+      sweep[name] = {k: row[k] for k in
+                     ('value', 'train_step_ms', 'params', 'mfu')}
+    except Exception:
+      pass
+  if sweep and not args.quick:
+    result['sweep'] = sweep
   print(json.dumps(result))
 
 
