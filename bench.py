@@ -157,18 +157,24 @@ def main():
       'mfu': round(mfu, 4),
   }
 
-  # Attach the latest size-sweep datapoints (runs/bench_r04.sh) so the
+  # Attach recent size-sweep datapoints (runs/bench_r04.sh) so the
   # one-line artifact carries MFU across presets, not just the default.
+  # Guarded by mtime so stale sweeps never masquerade as current: rerun
+  # runs/bench_r04.sh to refresh them after code changes.
   sweep = {}
   for name in ('size50m', 'size200m'):
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         'runs', 'bench_r04', f'{name}.json')
     try:
+      age_h = (time.time() - os.path.getmtime(path)) / 3600
+      if age_h > 48:
+        continue
       with open(path) as f:
         row = json.load(f)
       sweep[name] = {k: row[k] for k in
                      ('value', 'train_step_ms', 'params', 'mfu')}
+      sweep[name]['age_hours'] = round(age_h, 1)
     except Exception:
       pass
   if sweep and not args.quick:

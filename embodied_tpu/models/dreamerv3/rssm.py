@@ -353,7 +353,8 @@ class RSSM(nn.Module):
     """Whether the wider fused observe step (core + posterior head,
     ops/observe.py) applies. On by default under kernel: auto (validated
     on-chip, ~3% whole-step win at size12m); kernel: off disables."""
-    return (self.kernel in ('auto', 'fused') and not self.absolute and
+    return (self.kernel in ('auto', 'imag', 'fused') and
+            not self.absolute and
             len(self.obs_layers) == 1 and self._kernel_eligible(p))
 
   def _obs_seq_eligible(self, p):

@@ -63,8 +63,13 @@ def reference_imag_step(deter, stoch_flat, actfeat, gum, params, C,
   z3 = logit.reshape(B, L // C, C)
   probs, _ = seqlib._sample_probs(z3, unimix)
   y = jnp.log(probs) + gum.astype(f32).reshape(B, L // C, C)
-  hard = (y >= y.max(-1, keepdims=True)).astype(cdt).reshape(B, L)
-  return new, hard, logit
+  hard = (y >= y.max(-1, keepdims=True)).astype(f32)
+  # Straight-through attachment (dists.OneHot semantics): values equal
+  # the hard sample, gradients flow into the class probabilities — so
+  # autodiff of this reference (the custom VJP's backward) matches the
+  # XLA sampling path when rollout features are differentiated.
+  sample = (probs + jax.lax.stop_gradient(hard - probs)).reshape(B, L)
+  return new, sample.astype(cdt), logit
 
 
 def _kernel(deter_ref, stoch_ref, act_ref, gum_ref, *wrefs_and_outs,

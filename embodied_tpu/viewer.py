@@ -159,24 +159,27 @@ def profile_series(series):
 
 
 def svg_stack(layers, w=560, h=120, pad=4):
-  """Stacked-area polygons for [(name, xs, ys), ...] with shared steps.
+  """Stacked-area polygons for [(name, xs, ys), ...].
 
-  Series are cut to the common length and stacked in the given order;
-  the y-axis spans [0, max stacked total] so the filled band heights read
-  directly as wall-clock fractions."""
+  Sections only appear in log windows where they ran, so per-section
+  step axes differ; series are aligned on the union of steps with 0 for
+  windows a section did not run in (its true wall-clock fraction there).
+  The y-axis spans [0, max stacked total] so band heights read directly
+  as fractions."""
   if not layers:
     return []
-  n = min(len(ys) for _, _, ys in layers)
-  if n == 0:
+  xs = sorted({x for _, lxs, _ in layers for x in lxs})
+  if not xs:
     return []
-  xs = layers[0][1][:n]
   lo_x, hi_x = min(xs), max(xs)
   sx = (w - 2 * pad) / ((hi_x - lo_x) or 1.0)
-  totals = [0.0] * n
+  totals = [0.0] * len(xs)
   stacked = []
-  for name, _, ys in layers:
+  for name, lxs, lys in layers:
+    by_x = dict(zip(lxs, lys))
+    ys = [by_x.get(x, 0.0) for x in xs]
     lower = list(totals)
-    totals = [t + y for t, y in zip(totals, ys[:n])]
+    totals = [t + y for t, y in zip(totals, ys)]
     stacked.append((name, lower, list(totals)))
   top = max(totals) or 1.0
   sy = (h - 2 * pad) / top
