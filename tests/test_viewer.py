@@ -129,3 +129,48 @@ class TestProfileView:
     assert 'learner_tick' in page
     # The raw timer series are not rendered as individual metric charts.
     assert 'timer/agent_policy/frac ·' not in page
+
+
+class TestTimerMetricsContract:
+  """run protocols emit numeric timer series the profile view consumes."""
+
+  def test_timer_metrics_reach_jsonl(self, tmp_path):
+    import json as jsonlib
+    from functools import partial as bind
+    from embodied_tpu import core, run
+    from embodied_tpu.core import streams
+    from embodied_tpu.envs import Dummy
+    from embodied_tpu.utils import (
+        Config, Counter, JSONLOutput, Logger, TerminalOutput)
+    import utils as test_utils
+
+    def make_env(index):
+      return Dummy('disc', size=(8, 8), length=100)
+
+    env = make_env(0)
+    agent = test_utils.TestAgent(env.obs_space, env.act_space)
+    env.close()
+    args = Config(
+        logdir=str(tmp_path), steps=400, duration=0, train_ratio=8.0,
+        log_every=0.05, report_every=0.05, save_every=0.05, batch_size=4,
+        batch_length=8, report_batches=1, consec_report=1,
+        from_checkpoint='', envs=2, debug=True, usage={'psutil': False})
+    logger = Logger(
+        Counter(), [TerminalOutput(limit=3), JSONLOutput(str(tmp_path))])
+    run.train(
+        lambda: agent,
+        lambda: core.Replay(length=8, capacity=1e4, chunksize=64),
+        make_env,
+        lambda replay, mode: streams.Stateless(
+            bind(replay.sample, args.batch_size, mode)),
+        lambda: logger, args)
+    keys = set()
+    with open(tmp_path / 'metrics.jsonl') as f:
+      for line in f:
+        keys.update(jsonlib.loads(line))
+    frac_keys = [k for k in keys if k.startswith('timer/')
+                 and k.endswith('/frac')]
+    assert frac_keys, sorted(keys)
+    # The viewer turns exactly these into the profile view.
+    series = viewer.load_series(str(tmp_path), '.*')
+    assert viewer.profile_series(series), sorted(series)
