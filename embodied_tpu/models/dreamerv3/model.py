@@ -177,6 +177,63 @@ class Model:
         nn.cast(feat['deter']),
         stoch.reshape((*stoch.shape[:-2], -1))], -1)
 
+  def _fused_policy_spec(self, ctx):
+    """Policy weights + dist meta for the whole-horizon fused imagination
+    rollout (ops/imagine_seq.py), or None when the policy shape is not
+    supported in-kernel: requires a single-key action space with a
+    categorical (scalar discrete) or bounded_normal (vector continuous)
+    head and the default rms/silu MLP trunk. Head weights are padded to
+    the AP=128 lane tile (zero columns; -1e9 logit bias on the padding so
+    padded classes never win the in-kernel argmax)."""
+    if len(self.act_space) != 1:
+      return None
+    (key, space), = self.act_space.items()
+    pcfg = dict(self.acfg.policy)
+    if pcfg.get('norm', 'rms') != 'rms' or pcfg.get('act', 'silu') != 'silu':
+      return None
+    disc = space.discrete
+    impl = self.acfg.policy_dist_disc if disc else self.acfg.policy_dist_cont
+    if disc and (impl != 'categorical' or space.shape != ()):
+      return None
+    if not disc and (impl != 'bounded_normal' or len(space.shape) != 1):
+      return None
+    AP = 128
+    ain = int(space.classes) if disc else int(space.shape[0])
+    if not 0 < ain <= AP:
+      return None
+    units, npol = int(pcfg['units']), int(pcfg['layers'])
+    if npol < 1:
+      return None
+    dyn = self.dyn
+    indim = dyn.deter + dyn.stoch * dyn.classes
+    pp = self.pol.sub(ctx)
+    par = lambda scope, name, shape: scope.param(name, shape, 0.0)
+    params = []
+    mlp = pp('mlp')
+    for i in range(npol):
+      dim = indim if i == 0 else units
+      params.append(nn.cast(par(mlp(f'linear{i}'), 'kernel', (dim, units))))
+      params.append(nn.cast(par(mlp(f'linear{i}'), 'bias', (units,))))
+      params.append(par(mlp(f'norm{i}'), 'scale', (units,)))
+    head = pp('out')(f'head_{key}')
+    pad = lambda w: jnp.zeros((units, AP), w.dtype).at[:, :ain].set(w)
+    if disc:
+      wh = nn.cast(par(head('logits'), 'kernel', (units, ain)))
+      bh = par(head('logits'), 'bias', (ain,))
+      params.append(pad(wh))
+      params.append(jnp.full((AP,), -1e9, f32).at[:ain].set(f32(bh)))
+    else:
+      for name in ('mean', 'stddev'):
+        w = nn.cast(par(head(name), 'kernel', (units, ain)))
+        b = par(head(name), 'bias', (ain,))
+        params.append(pad(w))
+        params.append(jnp.zeros((AP,), f32).at[:ain].set(f32(b)))
+    return dict(
+        key=key, disc=disc, ain=ain, npol=npol,
+        minstd=float(pcfg.get('minstd', 1.0)),
+        maxstd=float(pcfg.get('maxstd', 1.0)),
+        params=tuple(params))
+
   # --- Training -----------------------------------------------------------
 
   def train(self, ctx, carry, data):
@@ -259,6 +316,9 @@ class Model:
     policyfn = lambda feat, key: {
         k: v.sample(key)
         for k, v in self.pol(ctx, self._feat2tensor(feat), 1).items()}
+    # Offer the fused whole-horizon rollout the policy weights; the RSSM
+    # takes the one-launch path when both sides are eligible.
+    policyfn.fused_spec = lambda: self._fused_policy_spec(ctx)
     _, imgfeat, imgprevact = self.dyn.imagine(
         ctx, starts, policyfn, H, training)
     first = jax.tree.map(

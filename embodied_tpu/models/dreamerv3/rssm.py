@@ -286,10 +286,48 @@ class RSSM(nn.Module):
     feat = nn.cast(dict(deter=deter, stoch=stoch, logit=logit))
     return carry, (feat, action)
 
+  def _imagine_fused(self, ctx, p, carry, spec, length):
+    """Whole-horizon fused rollout: ONE pallas_call with the policy MLP,
+    action sampling, action embed, core, prior, and stoch sampling all
+    in-kernel (ops/imagine_seq.py). `spec` comes from the model's
+    _fused_policy_spec and carries the policy weights + dist meta."""
+    from ...ops import imagine_seq as imslib
+    B = carry['deter'].shape[0]
+    S, C = self.stoch, self.classes
+    L = S * C
+    AP = 128
+    deter0 = nn.cast(carry['deter'])
+    stoch0 = nn.cast(carry['stoch'].reshape((B, -1)))
+    k1, k2 = jax.random.split(ctx.rng())
+    gum = jax.random.gumbel(k1, (length, B, L), f32)
+    sampler = jax.random.gumbel if spec['disc'] else jax.random.normal
+    noise = sampler(k2, (length, B, AP), f32)
+    params = (self._imag_params(p) +
+              self._embed_params(p, spec['ain'], AP) + spec['params'])
+    dseq, sseq, lseq, aseq = imslib.imagine_seq(
+        deter0, stoch0, gum, noise, params, self.blocks, S, C,
+        spec['npol'], spec['disc'], spec['minstd'], spec['maxstd'],
+        self.unimix)
+    deter = dseq.transpose(1, 0, 2)
+    stoch = sseq.transpose(1, 0, 2).reshape((B, length, S, C))
+    logit = lseq.transpose(1, 0, 2).reshape((B, length, S, C)).astype(f32)
+    acts = aseq.transpose(1, 0, 2)[..., :spec['ain']]
+    if spec['disc']:
+      action = jnp.argmax(acts, -1).astype(jnp.int32)
+    else:
+      action = acts
+    carry = nn.cast(dict(deter=deter[:, -1], stoch=stoch[:, -1]))
+    feat = dict(deter=deter, stoch=stoch, logit=logit)
+    return carry, feat, {spec['key']: action}
+
   def imagine(self, ctx, carry, policy, length, training, single=False):
     p = self.sub(ctx)
     if single:
       return self.imagine_single(p, nn.cast(carry), policy, ctx.rng())
+    if callable(policy) and self._imag_seq_eligible(p):
+      spec = getattr(policy, 'fused_spec', lambda: None)()
+      if spec is not None:
+        return self._imagine_fused(ctx, p, nn.cast(carry), spec, length)
     keys = jax.random.split(ctx.rng(), length).T
     if callable(policy):
       def body(pp, c, key):
@@ -382,6 +420,32 @@ class RSSM(nn.Module):
             len(self.img_layers) == 2 and
             self.classes % 8 == 0 and
             (self.stoch * self.classes) % 128 == 0)
+
+  def _imag_seq_eligible(self, p):
+    """Whether the whole-horizon fused imagination rollout applies
+    (ops/imagine_seq.py: policy MLP + action sampling + core + prior +
+    stoch sampling, one pallas_call for the full horizon). Structural
+    conditions mirror the per-step fused kernels plus the lane-aligned
+    class layout for in-kernel sampling; the policy-side conditions live
+    in model.Model._fused_policy_spec (single-key action space with a
+    categorical or bounded_normal head). On by default under
+    kernel: auto; 'imag'/'fused' keep the per-step A/B baselines."""
+    return (self.kernel == 'auto' and
+            self._kernel_eligible(p) and
+            len(self.img_layers) == 2 and
+            self.classes % 8 == 0 and
+            (self.stoch * self.classes) % 128 == 0)
+
+  def _embed_params(self, p, ain, AP):
+    """Action-embed (dynin2) weights with the input lane padded to AP:
+    zero rows on the padding keep padded action lanes inert."""
+    H = self.hidden
+    par = lambda mod, name, shape: p(mod).param(name, shape, 0.0)
+    wa = nn.cast(par('dynin2', 'kernel', (ain, H)))
+    ba = nn.cast(par('dynin2', 'bias', (H,)))
+    sa = par('dynin2norm', 'scale', (H,))
+    wa = jnp.zeros((AP, H), wa.dtype).at[:ain].set(wa)
+    return (wa, ba, sa)
 
   def _imag_params(self, p):
     D, H = self.deter, self.hidden
