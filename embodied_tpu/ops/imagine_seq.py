@@ -192,10 +192,10 @@ def _seq_kernel(gum_ref, noise_ref, deter0_ref, stoch0_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     'g', 'eps', 'unimix', 'S', 'C', 'npol', 'disc', 'minstd', 'maxstd',
-    'interpret'))
+    'bk', 'interpret'))
 def fused_imagine_seq(deter0, stoch0, gumbels, noise, params, g, S, C,
                       npol, disc, minstd=0.1, maxstd=1.0, eps=1e-4,
-                      unimix=0.01, interpret=False):
+                      unimix=0.01, bk=None, interpret=False):
   """Forward rollout. deter0/stoch0 are (B, D)/(B, L) compute-dtype
   starts; gumbels (H, B, L) and noise (H, B, AP) are f32 time-major
   noise (Gumbel for the stoch sample; Gumbel for discrete actions or
@@ -209,7 +209,7 @@ def fused_imagine_seq(deter0, stoch0, gumbels, noise, params, g, S, C,
   H, B, L = gumbels.shape
   AP = noise.shape[2]
   D = deter0.shape[1]
-  bk = _chunk(B, 256)
+  bk = bk or _chunk(B, 256)
   step = lambda dim: pl.BlockSpec(
       (1, bk, dim), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM)
   row = lambda dim: pl.BlockSpec(
@@ -245,13 +245,15 @@ def fused_imagine_seq(deter0, stoch0, gumbels, noise, params, g, S, C,
 
 
 def reference_imagine_seq(deter0, stoch0, gumbels, noise, hard_seq,
-                          params, npol, disc, C, unimix=0.01, minstd=0.1,
-                          maxstd=1.0, eps=1e-4):
-  """Replays the kernel's stochastic one-hots `hard_seq` (H, B, L) through
-  the XLA step math. Continuous actions are RECOMPUTED from `noise`
-  (reparameterized — so autodiff of this function reproduces the XLA scan
-  path's gradients into the policy); discrete actions are re-derived by
-  Gumbel-max and enter as constants, as integer samples do. Returns
+                          act_seq, params, npol, disc, C, unimix=0.01,
+                          minstd=0.1, maxstd=1.0, eps=1e-4):
+  """Replays the kernel's stochastic one-hots `hard_seq` (H, B, L) and —
+  for discrete heads — its recorded one-hot actions `act_seq` (H, B, AP)
+  through the XLA step math. Continuous actions are RECOMPUTED from
+  `noise` (reparameterized — so autodiff of this function reproduces the
+  XLA scan path's gradients into the policy); discrete actions enter as
+  replayed constants, as integer samples do (recomputing the Gumbel-max
+  in XLA can flip near-tie rows against the Mosaic argmax). Returns
   time-major (deter_seq, stoch_seq, logit_seq, act_seq)."""
   flds = fields(npol, disc)
   p = dict(zip(flds, params))
@@ -263,9 +265,13 @@ def reference_imagine_seq(deter0, stoch0, gumbels, noise, hard_seq,
 
   def step(carry, inp):
     deter, stoch = carry
-    gum, nz, hard = inp
-    act_rec, act_in = _policy_act(
-        dict(p), sg(deter), sg(stoch), nz, npol, disc, minstd, maxstd, eps)
+    gum, nz, hard, act = inp
+    if disc:
+      act_rec, act_in = act, act.astype(cdt)
+    else:
+      act_rec, act_in = _policy_act(
+          dict(p), sg(deter), sg(stoch), nz, npol, disc, minstd, maxstd,
+          eps)
     actfeat = _silu(seqlib._rms(
         act_in @ p['wa'] + p['ba'], p['sa'], eps)).astype(cdt)
     new = blockgru.reference_step(deter, stoch, actfeat, core_params, eps)
@@ -276,7 +282,8 @@ def reference_imagine_seq(deter0, stoch0, gumbels, noise, hard_seq,
     sample = (probs + sg(hard3 - probs)).reshape(B, L).astype(cdt)
     return (new, sample), (new, sample, logit, act_rec)
 
-  _, outs = jax.lax.scan(step, (deter0, stoch0), (gumbels, noise, hard_seq))
+  _, outs = jax.lax.scan(
+      step, (deter0, stoch0), (gumbels, noise, hard_seq, act_seq))
   return outs
 
 
@@ -300,16 +307,16 @@ def _fwd(deter0, stoch0, gumbels, noise, params, g, S, C, npol, disc,
          minstd, maxstd, unimix):
   out = imagine_seq(deter0, stoch0, gumbels, noise, params,
                     g, S, C, npol, disc, minstd, maxstd, unimix)
-  _, stoch_seq, _, _ = out
-  return out, (deter0, stoch0, gumbels, noise, stoch_seq, params)
+  _, stoch_seq, _, act_seq = out
+  return out, (deter0, stoch0, gumbels, noise, stoch_seq, act_seq, params)
 
 
 def _bwd(g, S, C, npol, disc, minstd, maxstd, unimix, residuals, grads):
-  deter0, stoch0, gumbels, noise, stoch_seq, params = residuals
+  deter0, stoch0, gumbels, noise, stoch_seq, act_seq, params = residuals
   _, vjp = jax.vjp(
       lambda d0, s0, pa: reference_imagine_seq(
-          d0, s0, gumbels, noise, stoch_seq, pa, npol, disc, C,
-          unimix, minstd, maxstd),
+          d0, s0, gumbels, noise, stoch_seq, sg(act_seq), pa, npol, disc,
+          C, unimix, minstd, maxstd),
       deter0, stoch0, tuple(params))
   dd0, ds0, dp = vjp(tuple(grads))
   return (dd0, ds0, jnp.zeros_like(gumbels), jnp.zeros_like(noise), dp)

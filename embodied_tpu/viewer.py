@@ -221,6 +221,147 @@ def render_profile(byrun, limit=8):
         f'<div class="legend">{legend}</div></div>')
   return charts
 
+# --- Trace view (XLA profiler dumps) ---------------------------------------
+# The agent's profiler window (parallel/agent.py _maybe_profile) writes a
+# TensorBoard xplane dump under <logdir>/**/plugins/profile/<ts>/*.xplane.pb.
+# Parity: scope's per-step trace exploration role in the reference
+# (/root/reference/dreamerv3/main.py:176-177). The dump is parsed directly
+# from the XSpace proto (no TensorBoard server needed).
+
+
+def find_trace_files(rundir):
+  import glob as globlib
+  return sorted(globlib.glob(
+      os.path.join(rundir, '**', '*.xplane.pb'), recursive=True))
+
+
+def _xplane_pb2():
+  try:
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    return xplane_pb2
+  except Exception:
+    try:
+      from tensorflow.core.profiler.protobuf import xplane_pb2  # older TF
+      return xplane_pb2
+    except Exception:
+      return None
+
+
+def _short_op(name):
+  """'%fusion.3 = f32[...] fusion(...)' -> 'fusion.3'."""
+  name = name.split(' = ')[0].strip()
+  return name.lstrip('%')[:60]
+
+
+def load_trace(path, max_events=200000):
+  """Parse an xplane dump into {'lanes': [(lane, [(op, start_us, dur_us)])],
+  'ops': [(op, total_us, count)]} for the device planes (host planes are
+  python-thread noise). Returns None when no proto parser is available."""
+  pb2 = _xplane_pb2()
+  if pb2 is None:
+    return None
+  space = pb2.XSpace()
+  with open(path, 'rb') as f:
+    space.ParseFromString(f.read())
+  lanes = []
+  totals = {}
+  count = 0
+  for plane in space.planes:
+    if plane.name.startswith('/host') or not plane.lines:
+      continue
+    meta = plane.event_metadata
+    for line in plane.lines:
+      events = []
+      for ev in line.events:
+        if count >= max_events:
+          break
+        md = meta.get(ev.metadata_id)
+        name = _short_op(md.display_name or md.name) if md else '?'
+        start = ev.offset_ps / 1e6  # ps -> us, relative to line start
+        dur = ev.duration_ps / 1e6
+        events.append((name, start, dur))
+        total, n = totals.get(name, (0.0, 0))
+        totals[name] = (total + dur, n + 1)
+        count += 1
+      if events:
+        lanes.append((f'{plane.name}/{line.name}', events))
+  ops = sorted(((k, t, n) for k, (t, n) in totals.items()),
+               key=lambda kv: -kv[1])
+  return dict(lanes=lanes, ops=ops)
+
+
+def render_trace(rundir, window_us=50000.0, toplanes=6, minfrac=1e-3):
+  """HTML for one run's latest trace: per-op totals table + an SVG
+  timeline of the busiest window of the busiest lanes."""
+  paths = find_trace_files(rundir)
+  if not paths:
+    return '<p>No profiler trace (*.xplane.pb) under this run.</p>'
+  trace = load_trace(paths[-1])
+  if trace is None:
+    return ('<p>Trace found but no xplane proto parser available '
+            '(needs the tensorflow tsl protobufs).</p>')
+  rows = ''.join(
+      f'<tr><td>{name}</td><td align=right>{total:,.0f}</td>'
+      f'<td align=right>{n}</td>'
+      f'<td align=right>{total / max(n, 1):,.1f}</td></tr>'
+      for name, total, n in trace['ops'][:25])
+  table = (
+      '<table border=0 cellpadding=2 style="font-size:11px">'
+      '<tr><th align=left>op</th><th>total us</th><th>count</th>'
+      '<th>mean us</th></tr>' + rows + '</table>')
+  # Timeline: the busiest lanes, clipped to a window starting at the
+  # first device event so one train step's structure is visible.
+  lanes = sorted(
+      trace['lanes'],
+      key=lambda le: -sum(d for _, _, d in le[1]))[:toplanes]
+  if not lanes:
+    return table
+  t0 = min(s for _, evs in lanes for _, s, _ in evs)
+  W, LH = 900, 22
+  H = LH * len(lanes) + 18
+  parts = []
+  palette = {}
+  for li, (lane, evs) in enumerate(lanes):
+    y = 14 + li * LH
+    parts.append(
+        f'<text x="2" y="{y + 12}" font-size="9" fill="#555">'
+        f'{lane.split("/")[-1][:28]}</text>')
+    for name, start, dur in evs:
+      x = (start - t0) / window_us * W
+      w = dur / window_us * W
+      if x > W or x + w < 0 or w < minfrac * W / 100:
+        continue
+      color = palette.setdefault(
+          name, _COLORS[len(palette) % len(_COLORS)])
+      parts.append(
+          f'<rect x="{max(x, 0):.1f}" y="{y}" width="{max(w, 0.6):.1f}" '
+          f'height="{LH - 4}" fill="{color}" fill-opacity="0.8">'
+          f'<title>{name} · {dur:.1f}us</title></rect>')
+  svg = (f'<svg width="{W}" height="{H}" '
+         f'style="background:#fff;border:1px solid #ddd">'
+         + ''.join(parts) + '</svg>')
+  src = os.path.relpath(paths[-1], rundir)
+  return (f'<h4>trace · {src} · first {window_us / 1e3:.0f} ms</h4>'
+          f'{svg}<div style="margin-top:8px">{table}</div>')
+
+
+def render_trace_page(root):
+  runs = scan_runs(root) or [root]
+  sections = []
+  for rundir in runs:
+    if not find_trace_files(rundir):
+      continue
+    run = os.path.basename(rundir) or rundir
+    sections.append(f'<div class="chart"><h4>{run}</h4>'
+                    f'{render_trace(rundir)}</div>')
+  if not sections:
+    sections = ['<p>No profiler traces under any run. Enable the '
+                'profiler window (jax.profiler) to record one.</p>']
+  return _PAGE.format(
+      filter='', nruns=len(runs), legend='<a href="/">metrics</a>',
+      charts=''.join(sections))
+
+
 _PAGE = """<!doctype html><html><head><title>embodied_tpu viewer</title>
 <style>
 body {{ font-family: monospace; margin: 16px; background: #fafafa; }}
@@ -234,7 +375,7 @@ form {{ margin-bottom: 12px; }}
 <form method="get">
   filter <input name="filter" value="{filter}">
   <input type="submit" value="apply">
-  <span>runs: {nruns} · auto-refresh 10s</span>
+  <span>runs: {nruns} · auto-refresh 10s · <a href="/trace">trace</a></span>
 </form>
 <div class="legend">{legend}</div>
 {charts}
@@ -282,11 +423,14 @@ def serve(root, port, pattern='.*'):
   class Handler(http.server.BaseHTTPRequestHandler):
 
     def do_GET(self):
-      query = urllib.parse.urlparse(self.path).query
-      params = urllib.parse.parse_qs(query)
+      parsed = urllib.parse.urlparse(self.path)
+      params = urllib.parse.parse_qs(parsed.query)
       flt = params.get('filter', [pattern])[0] or '.*'
       try:
-        body = render_page(root, flt).encode()
+        if parsed.path.rstrip('/') == '/trace':
+          body = render_trace_page(root).encode()
+        else:
+          body = render_page(root, flt).encode()
         self.send_response(200)
         self.send_header('Content-Type', 'text/html; charset=utf-8')
       except Exception as e:

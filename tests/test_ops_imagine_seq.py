@@ -95,7 +95,7 @@ class TestForward:
     s3 = np.asarray(sseq).reshape(T, B, S, C)
     np.testing.assert_array_equal(s3.sum(-1), np.ones((T, B, S)))
     rd, rs, rl, ra = imslib.reference_imagine_seq(
-        deter0, stoch0, gum, noise, sseq, params, NPOL, False, C,
+        deter0, stoch0, gum, noise, sseq, aseq, params, NPOL, False, C,
         minstd=MINSTD, maxstd=MAXSTD)
     np.testing.assert_allclose(
         np.asarray(dseq), np.asarray(rd), rtol=2e-4, atol=2e-4)
@@ -115,7 +115,7 @@ class TestForward:
     np.testing.assert_array_equal(a[..., 5:], np.zeros((T, B, AP - 5)))
     np.testing.assert_array_equal(a.sum(-1), np.ones((T, B)))
     rd, rs, rl, ra = imslib.reference_imagine_seq(
-        deter0, stoch0, gum, noise, sseq, params, NPOL, True, C)
+        deter0, stoch0, gum, noise, sseq, aseq, params, NPOL, True, C)
     np.testing.assert_array_equal(np.asarray(aseq), np.asarray(ra))
     np.testing.assert_allclose(
         np.asarray(dseq), np.asarray(rd), rtol=2e-4, atol=2e-4)
@@ -146,7 +146,7 @@ class TestBackward:
         imslib, 'fused_imagine_seq',
         functools.partial(imslib.fused_imagine_seq, interpret=True))
     params, deter0, stoch0, gum, noise, out = run_fused(False, 3)
-    sseq = out[1]
+    sseq, aseq = out[1], out[3]
 
     def loss_fused(d0, pa):
       ds, ss, ls, As = imslib.imagine_seq(
@@ -157,7 +157,7 @@ class TestBackward:
 
     def loss_ref(d0, pa):
       ds, ss, ls, As = imslib.reference_imagine_seq(
-          d0, stoch0, gum, noise, sseq, pa, NPOL, False, C,
+          d0, stoch0, gum, noise, sseq, aseq, pa, NPOL, False, C,
           minstd=MINSTD, maxstd=MAXSTD)
       return (jnp.square(ds).mean() + jnp.square(ss).mean() +
               jnp.square(ls).mean() + jnp.square(As).mean())

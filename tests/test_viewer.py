@@ -174,3 +174,58 @@ class TestTimerMetricsContract:
     # The viewer turns exactly these into the profile view.
     series = viewer.load_series(str(tmp_path), '.*')
     assert viewer.profile_series(series), sorted(series)
+
+
+class TestTraceView:
+  """The /trace view parses the agent's xplane profiler dumps directly."""
+
+  def _write_trace(self, tmp_path):
+    pb2 = viewer._xplane_pb2()
+    if pb2 is None:
+      import pytest
+      pytest.skip('no xplane proto parser in this environment')
+    space = pb2.XSpace()
+    plane = space.planes.add()
+    plane.name = '/device:TPU:0'
+    plane.event_metadata[1].name = '%fusion.7 = f32[16,64] fusion(...)'
+    plane.event_metadata[2].name = '%custom-call.2 = observe_seq(...)'
+    line = plane.lines.add()
+    line.name = 'XLA Ops'
+    line.timestamp_ns = 1000
+    for mid, off, dur in ((1, 0, 5000), (2, 5000, 2500), (1, 8000, 5000)):
+      ev = line.events.add()
+      ev.metadata_id = mid
+      ev.offset_ps = off * 1000000
+      ev.duration_ps = dur * 1000000
+    host = space.planes.add()
+    host.name = '/host:CPU'  # must be ignored by the loader
+    tracedir = tmp_path / 'plugins' / 'profile' / '2026_01_01'
+    tracedir.mkdir(parents=True)
+    path = tracedir / 'host.xplane.pb'
+    path.write_bytes(space.SerializeToString())
+    return str(path)
+
+  def test_load_trace_aggregates_device_ops(self, tmp_path):
+    path = self._write_trace(tmp_path)
+    trace = viewer.load_trace(path)
+    ops = {name: (total, n) for name, total, n in trace['ops']}
+    assert ops['fusion.7'] == (10000.0, 2), ops
+    assert ops['custom-call.2'] == (2500.0, 1), ops
+    assert len(trace['lanes']) == 1
+    lane, events = trace['lanes'][0]
+    assert 'TPU' in lane and len(events) == 3
+
+  def test_render_trace_page(self, tmp_path):
+    self._write_trace(tmp_path)
+    # A metrics file makes the directory a run; the trace sits next to it.
+    (tmp_path / 'metrics.jsonl').write_text('{"step": 1, "loss": 1.0}\n')
+    html = viewer.render_trace(str(tmp_path))
+    assert 'fusion.7' in html and 'custom-call.2' in html
+    assert '<svg' in html and 'rect' in html
+    page = viewer.render_trace_page(str(tmp_path))
+    assert 'fusion.7' in page
+
+  def test_trace_page_without_traces(self, tmp_path):
+    (tmp_path / 'metrics.jsonl').write_text('{"step": 1, "loss": 1.0}\n')
+    page = viewer.render_trace_page(str(tmp_path))
+    assert 'No profiler traces' in page

@@ -7,9 +7,14 @@ so the whole-step wall time decomposes into actionable buckets:
   encoder / observe scan (BPTT) / dynamics loss (observe+prior+KL) /
   decoder+heads / imagination rollout / full loss fwd / full train step
 
-This replaces an xprof op profile on hosts where the TensorBoard profile
-tooling is unavailable; segment walls are measured on the real device
-with block_until_ready around a fixed iteration count.
+Timing method: through the tunneled device, per-call walls are unreliable
+(dispatch is async and block_until_ready can return before the remote
+queue drains), so every segment is measured by the SLOPE between one jit
+that runs the segment once and one that runs it N times chained inside a
+lax.fori_loop (the loop carry feeds a zero-scaled perturbation into one
+parameter leaf, so iterations cannot be hoisted or overlapped), with the
+final scalar materialized on the host. Compile time never enters the
+wall, which keeps the derived mfu honest.
 
 Usage:
   python tools/profile_train.py --size size12m [--iters 20] [--out f.json]
@@ -134,35 +139,63 @@ def main():
       enc=enc_fwd, observe=observe_fwd, dyn=dyn_fwd,
       dec_heads=dec_heads_fwd, imag=imag_fwd, full=full_fwd)
 
-  def timeit(fn, *fargs):
-    out = fn(*fargs)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-      out = fn(*fargs)
-    jax.block_until_ready(out)
-    return 1000 * (time.perf_counter() - t0) / args.iters
+  import numpy as np
+
+  def slope_time(make_scalar):
+    """Wall-time of one evaluation of make_scalar(params) via the slope
+    between 1 and 1+iters chained fori_loop iterations. EVERY param leaf
+    gets a zero-scaled perturbation from the loop carry — perturbing only
+    one leaf would let XLA hoist any segment that does not consume that
+    leaf out of the loop entirely. The elementwise adds put a small floor
+    (~0.1 ms at size12m: one read+write pass over the params) under each
+    segment."""
+    def run(n):
+      def body(i, acc):
+        eps = acc * 0.0
+        p2 = {k: v + eps.astype(v.dtype) for k, v in params.items()}
+        return acc + make_scalar(p2).astype(jnp.float32)
+      return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+    f1 = jax.jit(lambda: run(1))
+    fn_ = jax.jit(lambda: run(1 + args.iters))
+    walls = []
+    for f in (f1, fn_):
+      float(np.asarray(f()))  # compile + warm
+      best = float('inf')
+      for _ in range(3):
+        t0 = time.perf_counter()
+        float(np.asarray(f()))
+        best = min(best, time.perf_counter() - t0)
+      walls.append(best)
+    return max(0.0, 1000 * (walls[1] - walls[0]) / args.iters)
+
+  def grad_scalar(fn):
+    def inner(p):
+      grads = jax.grad(fn)(p)
+      return sum(jnp.sum(g.astype(jnp.float32)) for g in grads.values())
+    return inner
 
   for name, fn in fns.items():
-    fwd = jax.jit(fn)
-    grad = jax.jit(lambda p, fn=fn: jax.grad(fn)(p))
     try:
-      segments[f'{name}/fwd_ms'] = round(timeit(fwd, params), 3)
-      segments[f'{name}/fwdbwd_ms'] = round(timeit(grad, params), 3)
+      segments[f'{name}/fwd_ms'] = round(slope_time(fn), 3)
+      segments[f'{name}/fwdbwd_ms'] = round(slope_time(grad_scalar(fn)), 3)
     except Exception as e:
       segments[f'{name}/error'] = str(e)[:200]
     print(name, {k: v for k, v in segments.items() if k.startswith(name)})
 
-  # The full train step (optimizer included) for reference. The train
-  # executable donates its carry, so rebind it every call.
-  carry, _, _ = agent.train(carry, dict(data))
-  jax.block_until_ready(agent.store)
-  t0 = time.perf_counter()
-  for _ in range(args.iters):
+  # The full train step (optimizer included), steady-state: warm up the
+  # executable first, then time a fixed-count loop (min over repeats) the
+  # same way bench.py does — compile never enters this wall.
+  for _ in range(3):
     carry, _, _ = agent.train(carry, dict(data))
   jax.block_until_ready(agent.store)
-  segments['train_step_ms'] = round(
-      1000 * (time.perf_counter() - t0) / args.iters, 3)
+  best = float('inf')
+  for _ in range(3):
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+      carry, _, _ = agent.train(carry, dict(data))
+    jax.block_until_ready(agent.store)
+    best = min(best, time.perf_counter() - t0)
+  segments['train_step_ms'] = round(1000 * best / args.iters, 3)
 
   cost = agent.train_cost()
   flops = float(cost.get('flops', 0) or 0)
