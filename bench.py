@@ -38,7 +38,7 @@ def peak_flops(device):
 
 
 def build_agent(size='size12m', batch=16, length=64, kernel='',
-                quick=False):
+                quick=False, mesh='1,1,1'):
   """Build the flagship DreamerV3 agent on a dummy image env."""
   from embodied_tpu.models import common
   from embodied_tpu.models.dreamerv3.model import Model
@@ -53,7 +53,7 @@ def build_agent(size='size12m', batch=16, length=64, kernel='',
       '--logdir', '/tmp/bench',
       '--batch_size', str(batch),
       '--batch_length', str(length),
-      '--jax.mesh', '1,1,1',
+      '--jax.mesh', mesh,
       '--jax.precompile', 'False',
   ]
   if kernel:
@@ -80,21 +80,10 @@ def build_agent(size='size12m', batch=16, length=64, kernel='',
   return agent, model, config
 
 
-def main():
-  parser = argparse.ArgumentParser()
-  parser.add_argument('--quick', action='store_true')
-  parser.add_argument('--size', default='size12m')
-  parser.add_argument('--steps', type=int, default=60)
-  parser.add_argument('--batch', type=int, default=16)
-  parser.add_argument('--length', type=int, default=64)
-  parser.add_argument('--kernel', default='',
-                      help="override dyn.rssm.kernel: auto|fused|off")
-  args = parser.parse_args()
-
-  import numpy as np  # noqa: F401
-  steps = 5 if args.quick else args.steps
-  agent, model, config = build_agent(
-      args.size, args.batch, args.length, args.kernel, args.quick)
+def run_bench(size, batch, length, kernel='', quick=False, steps=60):
+  """Measure one (size, batch) point; returns the result dict."""
+  agent, model, config = build_agent(size, batch, length, kernel, quick)
+  del model, config
   import jax
 
   B = agent.batch_size
@@ -140,7 +129,7 @@ def main():
     except Exception:
       pass
 
-  result = {
+  return {
       'metric': 'dreamerv3_train_frames_per_s',
       'value': round(frames_per_s, 2),
       'unit': 'frames/s',
@@ -150,35 +139,69 @@ def main():
       'params': int(params),
       'batch': B,
       'length': L,
-      'size': 'debug' if args.quick else args.size,
+      'size': 'debug' if quick else size,
       'device': str(jax.devices()[0]),
       'gflop_per_step': round(flops / 1e9, 1),
       'tflops': round(tflops, 2),
       'mfu': round(mfu, 4),
   }
 
-  # Attach recent size-sweep datapoints (runs/bench_r04.sh) so the
-  # one-line artifact carries MFU across presets, not just the default.
-  # Guarded by mtime so stale sweeps never masquerade as current: rerun
-  # runs/bench_r04.sh to refresh them after code changes.
-  sweep = {}
-  for name in ('size50m', 'size200m'):
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        'runs', 'bench_r04', f'{name}.json')
-    try:
-      age_h = (time.time() - os.path.getmtime(path)) / 3600
-      if age_h > 48:
-        continue
-      with open(path) as f:
-        row = json.load(f)
-      sweep[name] = {k: row[k] for k in
-                     ('value', 'train_step_ms', 'params', 'mfu')}
-      sweep[name]['age_hours'] = round(age_h, 1)
-    except Exception:
-      pass
-  if sweep and not args.quick:
-    result['sweep'] = sweep
+
+# The batch x size matrix for --sweep: the bandwidth-roofline analysis
+# predicts MFU climbs with batch (weights amortize over more rows).
+SWEEP = [
+    ('size12m', 16), ('size12m', 64), ('size12m', 128),
+    ('size50m', 16), ('size50m', 64), ('size50m', 128),
+    ('size200m', 16), ('size200m', 64), ('size200m', 128),
+]
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--quick', action='store_true')
+  parser.add_argument('--size', default='size12m')
+  parser.add_argument('--steps', type=int, default=60)
+  parser.add_argument('--batch', type=int, default=16)
+  parser.add_argument('--length', type=int, default=64)
+  parser.add_argument('--kernel', default='',
+                      help="override dyn.rssm.kernel: auto|fused|off")
+  parser.add_argument('--sweep', default='',
+                      help='measure the full batch x size matrix in this '
+                           'session and write the results to this path')
+  args = parser.parse_args()
+
+  if args.sweep:
+    # Every entry measured in THIS session on THIS device; one
+    # subprocess per point so each agent gets a clean runtime.
+    import subprocess
+    rows = []
+    for size, batch in SWEEP:
+      steps = max(10, int(args.steps * 16 / batch))
+      code = (
+          'import sys, json; sys.path.insert(0, %r); import bench; '
+          'print("ROW " + json.dumps(bench.run_bench(%r, %r, %r, '
+          'steps=%r)))' % (
+              os.path.dirname(os.path.abspath(__file__)),
+              size, batch, args.length, steps))
+      proc = subprocess.run(
+          [sys.executable, '-c', code], capture_output=True, text=True)
+      row = None
+      for line in proc.stdout.splitlines():
+        if line.startswith('ROW '):
+          row = json.loads(line[4:])
+      if row is None:
+        row = {'size': size, 'batch': batch,
+               'error': (proc.stdout + proc.stderr)[-400:]}
+      rows.append(row)
+      print(json.dumps(row))
+    with open(args.sweep, 'w') as f:
+      json.dump({'session_time': time.strftime('%Y-%m-%dT%H:%M:%S'),
+                 'rows': rows}, f, indent=2)
+    return
+
+  result = run_bench(
+      args.size, args.batch, args.length, args.kernel, args.quick,
+      steps=5 if args.quick else args.steps)
   print(json.dumps(result))
 
 

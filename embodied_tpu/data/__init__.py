@@ -1,1 +1,1 @@
-from .bag import BagReader, BagWriter
+from .bag import Bag, BagReader, BagSampler, BagWriter
