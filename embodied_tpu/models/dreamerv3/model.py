@@ -234,6 +234,64 @@ class Model:
         maxstd=float(pcfg.get('maxstd', 1.0)),
         params=tuple(params))
 
+  def _fused_imag_heads(self, ctx, inp):
+    """The five imagination heads (rew, con, pol, val, slowval) all read
+    the SAME rolled-out feature tensor — at batch 16x64 an ~84 MB
+    activation — so five separate first-layer matmuls re-stream it five
+    times. This computes all five trunks with the first layers fused
+    into ONE matmul on the concatenated kernels (mathematically
+    identical: weight columns are independent), then finishes each
+    trunk's remaining layers and output head through the normal
+    modules. Returns {'rew','con','pol','val','slowval'} dists, or None
+    when the trunk shapes differ from the default rms/silu stack."""
+    if ctx.create:
+      return None  # Init must trace the plain path to create params.
+    specs = [
+        ('rew', self.rew, dict(self.acfg.rewhead)),
+        ('con', self.con, dict(self.acfg.conhead)),
+        ('pol', self.pol, dict(self.acfg.policy)),
+        ('val', self.val, dict(self.acfg.value)),
+        ('slowval', self.slowval.model, dict(self.acfg.value)),
+    ]
+    for _, _, cfg in specs:
+      if cfg.get('norm', 'rms') != 'rms' or cfg.get('act', 'silu') != 'silu':
+        return None
+      if not cfg.get('bias', True) or int(cfg.get('layers', 3)) < 1:
+        return None
+    bshape = inp.shape[:2]
+    indim = inp.shape[-1]
+    x = nn.cast(inp).reshape((-1, indim))
+    units = [int(cfg['units']) for _, _, cfg in specs]
+    par = lambda scope, name, shape, init=0.0: scope.param(
+        name, shape, init)
+    scoped = [(mod.sub(ctx), mod, cfg) for _, mod, cfg in specs]
+    wcat = jnp.concatenate([
+        nn.cast(par(pp('mlp')('linear0'), 'kernel', (indim, u)))
+        for (pp, _, _), u in zip(scoped, units)], -1)
+    bcat = jnp.concatenate([
+        nn.cast(par(pp('mlp')('linear0'), 'bias', (u,)))
+        for (pp, _, _), u in zip(scoped, units)], -1)
+    y = x @ wcat + bcat
+    parts = jnp.split(y, list(np.cumsum(units)[:-1]), -1)
+    outs = {}
+    eps = 1e-4
+    for (name, _, _), (pp, mod, cfg), u, h in zip(specs, scoped, units,
+                                                  parts):
+      nlayers = int(cfg.get('layers', 3))
+      for i in range(nlayers):
+        if i:  # Layer 0 came out of the shared matmul above.
+          k = nn.cast(par(pp('mlp')(f'linear{i}'), 'kernel', (u, u)))
+          b = nn.cast(par(pp('mlp')(f'linear{i}'), 'bias', (u,)))
+          h = h @ k + b
+        h32 = f32(h)
+        scale = par(pp('mlp')(f'norm{i}'), 'scale', (u,), 1.0)
+        mult = jax.lax.rsqrt(
+            jnp.square(h32).mean(-1, keepdims=True) + eps) * scale
+        h = jax.nn.silu(nn.cast(h32 * mult))  # act in compute dtype,
+        # matching nn.MLP's act(norm(linear(x))) order exactly.
+      outs[name] = mod.head(pp, h.reshape((*bshape, u)))
+    return outs
+
   # --- Training -----------------------------------------------------------
 
   def train(self, ctx, carry, data):
@@ -330,14 +388,20 @@ class Model:
     assert all(x.shape[:2] == (B * K, H + 1)
                for x in jax.tree.leaves(imgfeat))
     inp = self._feat2tensor(imgfeat)
+    fused_heads = self._fused_imag_heads(ctx, inp)
+    if fused_heads is None:
+      fused_heads = dict(
+          rew=self.rew(ctx, inp, 2), con=self.con(ctx, inp, 2),
+          pol=self.pol(ctx, inp, 2), val=self.val(ctx, inp, 2),
+          slowval=self.slowval(ctx, inp, 2))
     losses, img_out, metrics = ac.imag_loss(
         ctx,
         imgact,
-        self.rew(ctx, inp, 2).pred(),
-        self.con(ctx, inp, 2).prob(1),
-        self.pol(ctx, inp, 2),
-        self.val(ctx, inp, 2),
-        self.slowval(ctx, inp, 2),
+        fused_heads['rew'].pred(),
+        fused_heads['con'].prob(1),
+        fused_heads['pol'],
+        fused_heads['val'],
+        fused_heads['slowval'],
         self.retnorm, self.valnorm, self.advnorm,
         update=training,
         contdisc=self.acfg.contdisc,
