@@ -1,0 +1,140 @@
+"""Assemble LEARN_r05.json from the round-5 learning runs.
+
+Usage: python runs/make_learn_json_r05.py
+
+Round-5 evidence targets the round-4 verdict's asks:
+  - walker_walk VISION to >= 100k env steps at the canonical dmc_vision
+    ratio (runs/learn_r05/vision),
+  - a full-stack script=parallel learning run on the TPU with role stats
+    from the experience plane (runs/learn_r05/parallel_cartpole),
+  - Director on PinPad (its home benchmark; pure-Python in-image env)
+    vs the measured random-agent baseline (runs/learn_r05/pinpad).
+Crafter remains uninstallable in this image (zero egress); the probe is
+recorded in the artifact so the absence is auditable.
+"""
+
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Measured in-image: 12 episodes of uniform-random actions on
+# PinPad('three') (episode length 10000), seed 0.
+PINPAD_RANDOM = {'mean': 79.2, 'std': 17.1, 'episodes': 12}
+
+
+def curve(rundir, limit=48):
+  path = os.path.join(rundir, 'scores.jsonl')
+  if not os.path.exists(path):
+    return None
+  rows = []
+  with open(path) as f:
+    for line in f:
+      line = line.strip()
+      if line:
+        try:
+          rows.append(json.loads(line))
+        except json.JSONDecodeError:
+          pass
+  rows = [r for r in rows if 'score' in r and 'step' in r]
+  if not rows:
+    return None
+  if len(rows) > limit:
+    stride = len(rows) / limit
+    rows = [rows[int(i * stride)] for i in range(limit)] + [rows[-1]]
+  samples = [
+      {'step': int(r['step']), 'score': round(float(r['score']), 2)}
+      for r in rows]
+  scores = [s['score'] for s in samples]
+  third = max(1, len(scores) // 3)
+  return {
+      'samples': samples,
+      'episodes': len(scores),
+      'first_third_mean': round(sum(scores[:third]) / third, 2),
+      'last_third_mean': round(
+          sum(scores[-third:]) / len(scores[-third:]), 2),
+      'max': max(scores),
+  }
+
+
+def role_stats(rundir):
+  """Last seen values of the experience-plane stats from metrics.jsonl,
+  plus the max latents/valid — proof the parallel roles carried the run."""
+  path = os.path.join(rundir, 'metrics.jsonl')
+  if not os.path.exists(path):
+    return None
+  keep_last = (
+      'parallel/ep_states', 'replay/inserts', 'replay/samples',
+      'replay/items', 'replay/replay_ratio',
+      'server/actor/recv', 'server/actor/send',
+      'server/replay/recv', 'server/replay/send',
+  )
+  out = {}
+  valid_max = None
+  with open(path) as f:
+    for line in f:
+      line = line.strip()
+      if not line:
+        continue
+      try:
+        rec = json.loads(line)
+      except json.JSONDecodeError:
+        continue
+      for key, val in rec.items():
+        if not isinstance(val, (int, float)) or isinstance(val, bool):
+          continue
+        for want in keep_last:
+          if key.startswith(want):
+            out[key] = round(float(val), 3)
+        if key.endswith('latents/valid'):
+          valid_max = max(valid_max or 0.0, float(val))
+  if valid_max is not None:
+    out['latents/valid_max'] = round(valid_max, 4)
+  return out or None
+
+
+def main():
+  out = {
+      'metric': 'episode score (dm_control reward sum, max ~1000; '
+                'pinpad: +10 per completed pad sequence over a '
+                '10000-step episode)',
+      'crafter_note': (
+          'crafter is not installed in this image and cannot be fetched '
+          '(zero egress): "import crafter" -> ModuleNotFoundError; '
+          '"pip download crafter --no-deps" -> no matching distribution. '
+          'DMC and PinPad are the benchmarks this image can run '
+          'end-to-end.'),
+      'prior_round': (
+          'LEARN_r04.json: walker_walk proprio 912 (max 942), '
+          'cartpole_swingup proprio 846 (max 856) via run.train.'),
+      'runs': {},
+  }
+  jobs = {
+      'walker_walk_vision': ('vision', None),
+      'cartpole_swingup_parallel': ('parallel_cartpole', 'role_stats'),
+      'pinpad_three_director': ('pinpad', 'random_baseline'),
+  }
+  for name, (sub, extra) in jobs.items():
+    rundir = os.path.join(ROOT, 'runs', 'learn_r05', sub)
+    data = curve(rundir)
+    if data is None:
+      continue
+    data['improved'] = data['last_third_mean'] > 1.2 * max(
+        data['first_third_mean'], 1e-6)
+    if extra == 'role_stats':
+      stats = role_stats(rundir)
+      if stats:
+        data['role_stats'] = stats
+    if extra == 'random_baseline':
+      data['random_baseline'] = PINPAD_RANDOM
+      data['above_random'] = data['last_third_mean'] > (
+          PINPAD_RANDOM['mean'] + 2 * PINPAD_RANDOM['std'])
+    out['runs'][name] = data
+  path = os.path.join(ROOT, 'LEARN_r05.json')
+  with open(path, 'w') as f:
+    json.dump(out, f, indent=2)
+  print('wrote', path, 'runs:', sorted(out['runs']))
+
+
+if __name__ == '__main__':
+  main()
