@@ -183,12 +183,21 @@ def main():
           'steps=%r)))' % (
               os.path.dirname(os.path.abspath(__file__)),
               size, batch, args.length, steps))
-      proc = subprocess.run(
-          [sys.executable, '-c', code], capture_output=True, text=True)
       row = None
-      for line in proc.stdout.splitlines():
-        if line.startswith('ROW '):
-          row = json.loads(line[4:])
+      # The tunnel can refuse registration for ~1-2 min after the
+      # previous process releases the chip; retry before recording
+      # a failure.
+      for attempt in range(3):
+        proc = subprocess.run(
+            [sys.executable, '-c', code], capture_output=True, text=True)
+        for line in proc.stdout.splitlines():
+          if line.startswith('ROW '):
+            row = json.loads(line[4:])
+        if row is not None:
+          break
+        if 'RESOURCE_EXHAUSTED' in proc.stderr or 'OOM' in proc.stderr:
+          break  # A real out-of-memory is a result, not a flake.
+        time.sleep(90)
       if row is None:
         row = {'size': size, 'batch': batch,
                'error': (proc.stdout + proc.stderr)[-400:]}

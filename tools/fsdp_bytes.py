@@ -1,17 +1,21 @@
-"""Cost-model experiment: does FSDP cut per-device weight streaming?
+"""Cost-model experiment: which sharding cuts per-device weight streaming?
 
-The size200m roofline analysis (COVERAGE.md round-4 notes) claims the
+The size200m roofline analysis (COVERAGE.md round-4 notes) says the
 observe scan is bandwidth-bound because every BPTT step re-streams the
 RSSM weights from HBM, and that sharding the weights over more chips is
-the fix. This script tests the claim's multi-chip half on the virtual
-CPU mesh: compile the FULL train step at a given size on a 1-device mesh
-and on an 8-way FSDP mesh (d,f,t = 1,8,1) and compare XLA's per-device
-cost analysis ('bytes accessed', 'flops' — the SPMD partitioner emits a
-per-device program, so both are per-device numbers).
+the fix. This script tests WHICH sharding actually delivers that on the
+virtual CPU mesh: compile the FULL train step on a 1-device mesh, an
+8-way FSDP mesh (d,f,t = 1,8,1), and an 8-way tensor-parallel mesh
+(1,1,8), and compare XLA's per-device cost analysis ('bytes accessed',
+'flops' — the SPMD partitioner emits a per-device program, so both are
+per-device numbers).
 
-If the claim holds, per-device bytes fall by ~the weight-streaming share
-(the activations are batch-sharded too under d*f), putting the scan back
-toward the compute roofline on a pod slice.
+The distinction the numbers expose: FSDP shards weight STORAGE, but the
+all-gathered weights are still read in full by every device on every
+scan step, so per-device bytes barely move; under tensor parallelism
+each device reads only its weight slice per step (with a reduce over
+partial outputs), which is the configuration that divides the streaming
+itself.
 
 Usage (CPU virtual devices; run nice'd — compiles are heavy):
   python tools/fsdp_bytes.py --size size200m [--out runs/fsdp_bytes.json]
@@ -86,20 +90,25 @@ def main():
   parser.add_argument('--batch', type=int, default=8)
   parser.add_argument('--length', type=int, default=32)
   parser.add_argument('--out', default='')
+  parser.add_argument('--meshes', default='1,1,1;1,8,1;1,1,8',
+                      help='semicolon-separated d,f,t mesh specs; the '
+                           'first is the baseline')
   args = parser.parse_args()
 
   results = {}
-  for mesh in ('1,1,1', '1,8,1'):
+  for mesh in args.meshes.split(';'):
     results[mesh] = run_one(args.size, mesh, args.batch, args.length)
     print(mesh, results[mesh])
-  base, fsdp = results['1,1,1'], results['1,8,1']
+  base = results[args.meshes.split(';')[0]]
   summary = dict(
-      size=args.size, batch=args.batch, length=args.length,
-      base=base, fsdp=fsdp,
-      bytes_reduction=round(
-          base['bytes_per_device'] / max(fsdp['bytes_per_device'], 1), 2),
-      flops_reduction=round(
-          base['flops_per_device'] / max(fsdp['flops_per_device'], 1), 2))
+      size=args.size, batch=args.batch, length=args.length, runs=results)
+  for mesh, row in results.items():
+    if row is base or 'error' in row:
+      continue
+    summary[f'bytes_reduction[{mesh}]'] = round(
+        base['bytes_per_device'] / max(row['bytes_per_device'], 1), 2)
+    summary[f'flops_reduction[{mesh}]'] = round(
+        base['flops_per_device'] / max(row['flops_per_device'], 1), 2)
   line = json.dumps(summary, indent=2)
   print(line)
   if args.out:

@@ -11,7 +11,7 @@ Timing method: through the tunneled device, per-call walls are unreliable
 (dispatch is async and block_until_ready can return before the remote
 queue drains), so every segment is measured by the SLOPE between one jit
 that runs the segment once and one that runs it N times chained inside a
-lax.fori_loop (the loop carry feeds a zero-scaled perturbation into one
+lax.fori_loop (the loop carry feeds a zero-scaled perturbation into every
 parameter leaf, so iterations cannot be hoisted or overlapped), with the
 final scalar materialized on the host. Compile time never enters the
 wall, which keeps the derived mfu honest.
@@ -148,24 +148,29 @@ def main():
     one leaf would let XLA hoist any segment that does not consume that
     leaf out of the loop entirely. The elementwise adds put a small floor
     (~0.1 ms at size12m: one read+write pass over the params) under each
-    segment."""
-    def run(n):
+    segment. Params enter as jit ARGUMENTS (closed-over device arrays
+    would be embedded as per-executable constants: wrong timing and an
+    HBM copy per compiled segment)."""
+    def run(ps, n):
       def body(i, acc):
         eps = acc * 0.0
-        p2 = {k: v + eps.astype(v.dtype) for k, v in params.items()}
+        p2 = {k: v + eps.astype(v.dtype) for k, v in ps.items()}
         return acc + make_scalar(p2).astype(jnp.float32)
       return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-    f1 = jax.jit(lambda: run(1))
-    fn_ = jax.jit(lambda: run(1 + args.iters))
+    f1 = jax.jit(lambda ps: run(ps, 1))
+    fn_ = jax.jit(lambda ps: run(ps, 1 + args.iters))
     walls = []
     for f in (f1, fn_):
-      float(np.asarray(f()))  # compile + warm
+      float(np.asarray(f(params)))  # compile + warm
       best = float('inf')
       for _ in range(3):
         t0 = time.perf_counter()
-        float(np.asarray(f()))
+        float(np.asarray(f(params)))
         best = min(best, time.perf_counter() - t0)
       walls.append(best)
+    # Drop the two compiled loop executables so segments don't pile up
+    # HBM (each holds its own workspace reservation).
+    jax.clear_caches()
     return max(0.0, 1000 * (walls[1] - walls[0]) / args.iters)
 
   def grad_scalar(fn):
@@ -174,17 +179,10 @@ def main():
       return sum(jnp.sum(g.astype(jnp.float32)) for g in grads.values())
     return inner
 
-  for name, fn in fns.items():
-    try:
-      segments[f'{name}/fwd_ms'] = round(slope_time(fn), 3)
-      segments[f'{name}/fwdbwd_ms'] = round(slope_time(grad_scalar(fn)), 3)
-    except Exception as e:
-      segments[f'{name}/error'] = str(e)[:200]
-    print(name, {k: v for k, v in segments.items() if k.startswith(name)})
-
-  # The full train step (optimizer included), steady-state: warm up the
-  # executable first, then time a fixed-count loop (min over repeats) the
-  # same way bench.py does — compile never enters this wall.
+  # The full train step (optimizer included), steady-state, measured
+  # FIRST — before the segment jits exist — so the executable sees the
+  # same HBM conditions as production. Warm up, then min over repeated
+  # fixed-count loops (bench.py methodology): compile never enters.
   for _ in range(3):
     carry, _, _ = agent.train(carry, dict(data))
   jax.block_until_ready(agent.store)
@@ -196,6 +194,14 @@ def main():
     jax.block_until_ready(agent.store)
     best = min(best, time.perf_counter() - t0)
   segments['train_step_ms'] = round(1000 * best / args.iters, 3)
+
+  for name, fn in fns.items():
+    try:
+      segments[f'{name}/fwd_ms'] = round(slope_time(fn), 3)
+      segments[f'{name}/fwdbwd_ms'] = round(slope_time(grad_scalar(fn)), 3)
+    except Exception as e:
+      segments[f'{name}/error'] = str(e)[:200]
+    print(name, {k: v for k, v in segments.items() if k.startswith(name)})
 
   cost = agent.train_cost()
   flops = float(cost.get('flops', 0) or 0)
