@@ -10,12 +10,15 @@ virtual CPU mesh: compile the FULL train step on a 1-device mesh, an
 'flops' — the SPMD partitioner emits a per-device program, so both are
 per-device numbers).
 
-The distinction the numbers expose: FSDP shards weight STORAGE, but the
-all-gathered weights are still read in full by every device on every
-scan step, so per-device bytes barely move; under tensor parallelism
-each device reads only its weight slice per step (with a reduce over
-partial outputs), which is the configuration that divides the streaming
-itself.
+What the numbers showed (runs/bench_r05/fsdp_bytes_size200m.json):
+per-device FLOPs divide ~6x under BOTH shardings, but bytes accessed
+moves only ~1.1-1.2x either way — XLA's bytes-accessed metric sums
+every HLO operand/result and is dominated by activation traffic, so it
+cannot isolate the scan's weight re-streaming. The experiment that
+does isolate it is ops/qcore.py: the int8 window keeps the weights
+VMEM-resident for the whole window, removing the per-step re-streaming
+directly, and its measured on-chip win bounds the weight-streaming
+share (see COVERAGE.md round-5 notes).
 
 Usage (CPU virtual devices; run nice'd — compiles are heavy):
   python tools/fsdp_bytes.py --size size200m [--out runs/fsdp_bytes.json]
