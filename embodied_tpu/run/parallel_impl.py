@@ -57,7 +57,11 @@ class _CarryCache:
   """Per-env policy carries, gathered into batches by env id."""
 
   def __init__(self, template):
-    template = tree.tree_map(np.asarray, template)
+    # The init-carry template arrives as device arrays; fetch explicitly
+    # (implicit np.asarray transfers trip the production transfer guard
+    # on real chips — same rule as scatter below).
+    import jax
+    template = tree.tree_map(np.asarray, jax.device_get(template))
     self._blank = tree.tree_map(
         lambda x: x[0], template, isleaf=lambda x: isinstance(x, list))
     self._entries = {}
@@ -70,7 +74,14 @@ class _CarryCache:
     return tree.tree_map(lambda *xs: np.stack(xs), *rows)
 
   def scatter(self, envids, batch):
-    batch = tree.tree_map(np.asarray, batch)
+    # Policy carries come back as device arrays; fetch them EXPLICITLY —
+    # np.asarray on a device array is an implicit device-to-host
+    # transfer, which the production transfer guard rightly rejects on
+    # real chips (agent.policy puts host carries back with an explicit
+    # device_put on the way in). The rows are small (KBs per step) next
+    # to the policy call's own device round trip.
+    import jax
+    batch = tree.tree_map(np.asarray, jax.device_get(batch))
     for i, envid in enumerate(envids):
       self._entries[int(envid)] = tree.tree_map(lambda x: x[i], batch)
 
