@@ -64,10 +64,12 @@ def role_stats(rundir):
   if not os.path.exists(path):
     return None
   keep_last = (
-      'parallel/ep_states', 'replay/inserts', 'replay/samples',
-      'replay/items', 'replay/replay_ratio',
-      'server/actor/recv', 'server/actor/send',
-      'server/replay/recv', 'server/replay/send',
+      'parallel/ep_states', 'parallel/ep_starts', 'parallel/ep_ends',
+      'replay/inserts', 'replay/samples', 'replay/items',
+      'replay/replay_ratio',
+      'server/actor/requests', 'server/actor/conns', 'server/actor/errors',
+      'server/replay/requests', 'server/replay/errors',
+      'client/actor_replay/sent', 'client/actor_replay/inflight',
   )
   out = {}
   valid_max = None
