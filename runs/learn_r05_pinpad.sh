@@ -16,7 +16,7 @@ for attempt in 1 2 3; do
   if [ "$left" -le 120 ]; then break; fi
   timeout "$left" \
     python -m embodied_tpu.models.director.main \
-    --task pinpad_three \
+    --task pinpad_three --env.pinpad.length 2000 \
     --logdir runs/learn_r05/pinpad \
     --run.steps 1e6 --run.envs 8 --run.eval_envs 0 \
     --run.train_ratio 64 \

@@ -18,9 +18,11 @@ import os
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Measured in-image: 12 episodes of uniform-random actions on
-# PinPad('three') (episode length 10000), seed 0.
-PINPAD_RANDOM = {'mean': 79.2, 'std': 17.1, 'episodes': 12}
+# Measured in-image: uniform-random actions on PinPad('three'), seed 0.
+# The learning run uses env.pinpad.length 2000 (episodes short enough to
+# complete inside the end-of-round chip budget); baseline measured at
+# the same length (the 10000-step baseline is 79.2 +/- 17.1, n=12).
+PINPAD_RANDOM = {'mean': 17.5, 'std': 11.8, 'episodes': 20, 'length': 2000}
 
 
 def curve(rundir, limit=48):
